@@ -1,0 +1,220 @@
+"""Deterministic synthetic corpora.
+
+Two corpora, both fully seeded (no wall-clock, no unseeded randomness):
+
+1. ``make_pages_corpus`` — a Common-Crawl-style pages table
+   ``(url, warc_ts, html, text, lang)`` per the graft input hint
+   (/root/repo/BASELINE.json), embedding a seeded link graph in the
+   ``html``. Host popularity is zipf-skewed (hot-host skew for the
+   politeness/partitioning paths), a fraction of links dangle (404 →
+   deadletter path), a fraction of links are written in non-canonical
+   form (RFC-3986 canonicalization path), and many pages are reachable
+   via multiple parents (dedup path). The ``text`` column is produced
+   by the SAME ``extract_text`` the pipeline uses, so the byte-identical
+   per-url invariant holds by construction and is asserted in tests.
+
+2. ``ghgraph_corpus`` — the GitHub-entity fixture graph transcribed from
+   the reference's golden end-to-end test
+   (/root/reference/test/unit/processingTests.js:111-238), used to
+   assert pop-order + queued-children parity (:20-43).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from .stages.extract import extract_text
+
+BASE_TS_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
+
+_WORDS = (
+    "crawl frontier queue fetch parse extract link host page document "
+    "politeness budget shard filter epoch lineage resume arrow batch "
+    "stream block spill shuffle priority depth discovery deadletter"
+).split()
+
+_LANGS = ["en", "de", "fr", "es", "en", "en"]
+
+
+def page_url(host_idx: int, page_idx: int) -> str:
+    return f"http://host{host_idx}.example.com/p/{page_idx}"
+
+
+def _noncanonical_variant(url: str, rng: np.random.Generator) -> str:
+    """Rewrite a canonical URL into an equivalent non-canonical form."""
+    kind = int(rng.integers(0, 4))
+    scheme, rest = url.split("://", 1)
+    host, path = rest.split("/", 1)
+    if kind == 0:
+        return f"{scheme.upper()}://{host.upper()}/{path}"
+    if kind == 1:
+        return f"{scheme}://{host}:80/{path}"
+    if kind == 2:
+        return f"{scheme}://{host}/./{path.replace('/', '/../' + path.split('/')[0] + '/', 1)}"
+    # percent-encode an unreserved character ('p' -> %70)
+    return f"{scheme}://{host}/{path.replace('p', '%70', 1)}"
+
+
+def make_pages_corpus(
+    num_hosts: int = 8,
+    pages_per_host: int = 40,
+    seed: int = 42,
+    out_degree: int = 6,
+    dangling_frac: float = 0.04,
+    variant_frac: float = 0.10,
+    paragraphs: int = 3,
+) -> pa.Table:
+    """Build the deterministic pages table (see module docstring)."""
+    rng = np.random.default_rng(seed)
+    n = num_hosts * pages_per_host
+    # zipf-ish host popularity: weight ~ 1/(rank+1)
+    host_w = 1.0 / (np.arange(num_hosts) + 1.0)
+    host_w /= host_w.sum()
+
+    urls, tss, htmls, texts, langs = [], [], [], [], []
+    idx = 0
+    for h in range(num_hosts):
+        for p in range(pages_per_host):
+            url = page_url(h, p)
+            links: list[str] = []
+            for _ in range(out_degree):
+                r = rng.random()
+                if r < dangling_frac:
+                    links.append(
+                        f"http://host{int(rng.integers(0, num_hosts))}"
+                        f".example.com/missing/{int(rng.integers(0, 10**6))}"
+                    )
+                    continue
+                th = int(rng.choice(num_hosts, p=host_w))
+                tp = int(rng.integers(0, pages_per_host))
+                target = page_url(th, tp)
+                if rng.random() < variant_frac:
+                    target = _noncanonical_variant(target, rng)
+                links.append(target)
+            words = rng.choice(len(_WORDS), size=paragraphs * 12)
+            paras = []
+            for q in range(paragraphs):
+                chunk = " ".join(_WORDS[w] for w in words[q * 12 : (q + 1) * 12])
+                paras.append(f"<p>{chunk}</p>")
+            anchors = "".join(
+                f'<a href="{link}">link {j}</a>' for j, link in enumerate(links)
+            )
+            html = (
+                f"<html><head><title>page {h}/{p}</title>"
+                f"<style>.x{{color:red}}</style></head>"
+                f"<body><h1>Host {h} Page {p}</h1>{''.join(paras)}"
+                f"<div>{anchors}</div>"
+                f"<script>var t={idx};</script></body></html>"
+            ).encode("utf-8")
+            urls.append(url)
+            tss.append(BASE_TS_US + idx * 1_000_000)
+            htmls.append(html)
+            texts.append(extract_text(html))
+            langs.append(_LANGS[idx % len(_LANGS)])
+            idx += 1
+
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+
+
+def default_seeds(num_seed_hosts: int = 2) -> list[dict]:
+    """Seed list: page 0 of the first hosts (reference: CRAWLER_ORGS seeding,
+    /root/reference/lib/crawlerFactory.js:633-650)."""
+    return [
+        {"url": page_url(h, 0), "type": "page", "policy": "default",
+         "queue": "normal"}
+        for h in range(num_seed_hosts)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# GitHub-entity golden fixture (transcribed behavior, not copied code).
+# ---------------------------------------------------------------------------
+
+_GH = "https://api.github.com"
+
+
+def ghgraph_corpus() -> pa.Table:
+    """13-resource fixture graph mirroring the reference golden corpus
+    (/root/reference/test/unit/processingTests.js:111-238)."""
+    resources: dict[str, tuple[str, object]] = {
+        f"{_GH}/orgs/test": ("org", {
+            "id": 1,
+            "url": f"{_GH}/orgs/test",
+            "repos_url": f"{_GH}/orgs/test/repos",
+            "members_url": f"{_GH}/orgs/test/members{{/member}}",
+        }),
+        f"{_GH}/orgs/test/repos": ("repos", []),
+        f"{_GH}/orgs/test/members": ("members", [
+            {"url": f"{_GH}/users/test"},
+            {"url": f"{_GH}/users/user2"},
+        ]),
+        f"{_GH}/orgs/test/teams": ("teams", [
+            {"url": f"{_GH}/teams/20"},
+        ]),
+        f"{_GH}/users/test": ("user", {
+            "id": 1,
+            "url": f"{_GH}/users/test",
+            "repos_url": f"{_GH}/users/test/repos",
+        }),
+        f"{_GH}/users/test/repos": ("repos", []),
+        f"{_GH}/users/user2": ("user", {
+            "id": 2,
+            "url": f"{_GH}/users/user2",
+            "repos_url": f"{_GH}/users/user2/repos",
+        }),
+        f"{_GH}/users/user2/repos": ("repos", []),
+        f"{_GH}/teams/20": ("team", {
+            "id": 20,
+            "members_url": f"{_GH}/teams/20/members{{/member}}",
+            "repositories_url": f"{_GH}/teams/20/repos",
+        }),
+        f"{_GH}/teams/20/repos": ("repos", []),
+        f"{_GH}/teams/20/members": ("members", []),
+    }
+    urls, types, bodies = [], [], []
+    for url, (typ, body) in resources.items():
+        urls.append(url)
+        types.append(typ)
+        bodies.append(json.dumps(body).encode("utf-8"))
+    n = len(urls)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array([BASE_TS_US + i for i in range(n)],
+                                 pa.timestamp("us")),
+            "html": pa.array(bodies, pa.binary()),
+            "text": pa.array([""] * n, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+        }
+    )
+
+
+# True pop order of the reference golden (processingTests.js:20-43) with
+# queued-children counts counted BEFORE dedup. Note the reference's own
+# step-6 assertion re-checks the stale urn:org:1:repos:page:1 doc — the
+# actually-popped request at step 6 is user test's repos page, which is
+# what this table records.
+GHGRAPH_EXPECTED_POP_ORDER: list[tuple[str, str, int]] = [
+    ("org", "urn:org:1", 4),
+    ("user", "urn:user:1", 1),
+    ("repos", "urn:org:1:repos:page:1", 0),
+    ("members", "urn:org:1:members:page:1", 2),
+    ("teams", "urn:org:1:teams:page:1", 1),
+    ("repos", "urn:user:1:repos:page:1", 0),
+    ("user", "urn:user:2", 1),
+    ("team", "urn:team:20", 2),
+    ("repos", "urn:user:2:repos:page:1", 0),
+    ("members", "urn:team:20:members:page:1", 0),
+    ("repos", "urn:team:20:repos:page:1", 0),
+]

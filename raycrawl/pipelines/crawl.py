@@ -1,0 +1,583 @@
+"""The epoch crawl loop: frontier scheduling → fetch/extract → dedup.
+
+Rebuilds the reference crawler's processOne loop
+(/root/reference/test/unit/processingTests.js:48-51 pins its observable
+behavior: pop → fetch → visit → store → queue children → done/abandon)
+as a batch-epoch pipeline (SURVEY §3.5):
+
+    loop epoch e:
+      take: weighted per-queue quotas from the shard actors
+            (pop weights events 10 / immediate 3 / soon 2 / normal 3 /
+             later 2 — reference lib/crawlerFactory.js:80)
+      politeness: per-host allowance (rate × epoch window); overflow rows
+            deferred with not_before = now + deferDelay
+            (reference lib/crawlerFactory.js:74)
+      fetch+visit+sink+route: ray.data.Dataset.map_batches actor pool
+            (stages/fetch.py) — documents to Parquet, candidate links
+            offered to the owning FrontierShard, only failures return
+      retry ledger: failed rows re-queued to the 'immediate' queue with
+            attempt_count+1 (reference _retryQueue,
+            lib/crawlerFactory.js:678); attempts ≥ max → deadletter
+            (reference routes/deadletters.js)
+      lineage: every shard flushes its admitted rows per epoch
+            (delta-store analogue, providers/storage/deltaStore.js)
+
+The driver only ever holds frontier METADATA rows (≤ epoch_budget of
+~150-byte url rows — the analogue of the reference's 100-message
+prefetch credit, lib/crawlerFactory.js:79); page bodies live entirely
+inside the distributed stage. Termination: all shards drained.
+
+``mode='local'`` runs the identical kernels eagerly in-process (the
+reference's InMemory crawler mode, lib/crawlerFactory.js:117-130) —
+used for the single-loop golden-parity tests and for budget=1 runs
+where per-epoch Dataset overhead would dominate.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from collections import defaultdict
+from dataclasses import dataclass, field
+from glob import glob
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..corpus import BASE_TS_US
+from ..functions.urlnorm import canonicalize_batch, shard_of
+from ..schemas import (
+    DEADLETTER_SCHEMA,
+    FRONTIER_SCHEMA,
+    LINEAGE_SCHEMA,
+    METRICS_SCHEMA,
+    QUEUE_WEIGHTS,
+    QUEUES,
+)
+from ..stages.fetch import SUMMARY_TYPE, CrawlWorkerStage, build_fetch_index
+from ..state.frontier import FrontierShardState, create_shards
+from ..state.politeness import PolitenessPolicy
+
+
+@dataclass
+class CrawlConfig:
+    state_dir: str
+    num_shards: int = 4
+    epoch_budget: int = 100_000
+    max_epochs: int = 100_000
+    max_attempts: int = 3
+    retry_queue: str = "immediate"
+    child_queue: str = "normal"
+    host_rate_per_sec: float = 1e9   # politeness budget; tests lower it
+    epoch_seconds: float = 1.0
+    defer_delay_sec: float = 0.5
+    seen_filter: str = "exact"       # 'exact' | 'bloom'
+    seen_capacity: int = 1_000_000   # per shard (bloom)
+    seen_fpr: float = 1e-3
+    mode: str = "ray"                # 'ray' | 'local'
+    fetch_concurrency: int = 8
+    fetch_batch_size: int = 2048
+    attenuate: bool = True
+    snapshot_id: str = "s0"
+    base_ts_us: int = BASE_TS_US + 86_400_000_000  # crawl clock: corpus ts + 1d
+
+
+@dataclass
+class CrawlResult:
+    state_dir: str
+    epochs: int
+    docs_written: int
+    failed: int
+    deadlettered: int
+    seen_count: int
+    seen_digest: str
+    metrics: pa.Table
+
+    @property
+    def documents_dir(self) -> str:
+        return os.path.join(self.state_dir, "documents")
+
+    def documents_table(self) -> pa.Table:
+        files = sorted(glob(os.path.join(self.documents_dir, "epoch=*", "*.parquet")))
+        if not files:
+            from ..schemas import DOCUMENT_SCHEMA
+
+            return DOCUMENT_SCHEMA.empty_table()
+        return pa.concat_tables(pq.read_table(f) for f in files)
+
+    def documents_dataset(self):
+        import ray.data
+
+        return ray.data.read_parquet(self.documents_dir)
+
+    def deadletters_table(self) -> pa.Table:
+        files = sorted(glob(os.path.join(self.state_dir, "deadletters", "*.parquet")))
+        if not files:
+            return DEADLETTER_SCHEMA.empty_table()
+        return pa.concat_tables(pq.read_table(f) for f in files)
+
+
+def build_frontier_rows(
+    specs: list[dict], *, base_ts: int, depth: int = 0
+) -> pa.Table:
+    """Seed specs ({url, type?, queue?, policy?, payload_etag?}) →
+    canonicalized frontier rows (reference seeding:
+    routes/requests.js:57-81 + lib/crawlerFactory.js:633-650)."""
+    urls = [s["url"] for s in specs]
+    norm, digests, hosts = canonicalize_batch(urls)
+    n = len(specs)
+    return pa.Table.from_arrays(
+        [
+            pa.array(norm, pa.string()),
+            pa.array(digests, pa.binary(20)),
+            pa.array(hosts, pa.string()),
+            pa.array([s.get("type", "page") for s in specs], pa.string()),
+            pa.array([s.get("policy", "default") for s in specs], pa.string()),
+            pa.array([s.get("queue", "normal") for s in specs], pa.string()),
+            pa.array([depth] * n, pa.int32()),
+            pa.array([base_ts + i for i in range(n)], pa.int64()),
+            pa.array([0] * n, pa.int32()),
+            pa.array([0] * n, pa.int64()),
+            pa.array([s.get("parent_urn", "") for s in specs], pa.string()),
+            pa.array([s.get("relation", "") for s in specs], pa.string()),
+            pa.array([s.get("payload_etag", "") for s in specs], pa.string()),
+        ],
+        schema=FRONTIER_SCHEMA,
+    )
+
+
+class CrawlEngine:
+    def __init__(self, corpus: pa.Table, cfg: CrawlConfig) -> None:
+        self.cfg = cfg
+        self.corpus = corpus
+        os.makedirs(cfg.state_dir, exist_ok=True)
+        self.docs_dir = os.path.join(cfg.state_dir, "documents")
+        self.dead_dir = os.path.join(cfg.state_dir, "deadletters")
+        os.makedirs(self.docs_dir, exist_ok=True)
+        os.makedirs(self.dead_dir, exist_ok=True)
+        index = build_fetch_index(corpus)
+        self.politeness = PolitenessPolicy(
+            host_rate_per_sec=cfg.host_rate_per_sec,
+            epoch_seconds=cfg.epoch_seconds,
+            defer_delay_sec=cfg.defer_delay_sec,
+        )
+        self._metrics_rows: list[dict] = []
+        self._lineage_rows: list[dict] = []
+        self._docs_written = 0
+        self._failed = 0
+        self._dead = 0
+
+        if cfg.mode == "ray":
+            import ray
+
+            self.corpus_ref = ray.put(corpus)
+            self.index_ref = ray.put(index)
+            self.shards = create_shards(
+                cfg.num_shards,
+                seen_kind=cfg.seen_filter,
+                seen_capacity=cfg.seen_capacity,
+                seen_fpr=cfg.seen_fpr,
+                state_dir=cfg.state_dir,
+                snapshot_id=cfg.snapshot_id,
+            )
+        else:
+            self.shards = [
+                FrontierShardState(
+                    i,
+                    cfg.num_shards,
+                    seen_kind=cfg.seen_filter,
+                    seen_capacity=cfg.seen_capacity,
+                    seen_fpr=cfg.seen_fpr,
+                    state_dir=cfg.state_dir,
+                    snapshot_id=cfg.snapshot_id,
+                )
+                for i in range(cfg.num_shards)
+            ]
+            self._local_worker = CrawlWorkerStage(
+                corpus,
+                index,
+                self.shards,
+                docs_dir=self.docs_dir,
+                child_queue=cfg.child_queue,
+                attenuate=cfg.attenuate,
+            )
+
+    # -- shard RPC helpers (transparent local/ray) -------------------------
+
+    def _call(self, method: str, *args):
+        if self.cfg.mode == "ray":
+            import ray
+
+            return ray.get(
+                [getattr(s, method).remote(*args) for s in self.shards]
+            )
+        return [getattr(s, method)(*args) for s in self.shards]
+
+    def _route(self, rows: pa.Table, method: str) -> int:
+        """Driver-side routing for small row sets (seeds, retries,
+        deferrals); bulk candidate routing happens inside the
+        distributed stage."""
+        if rows.num_rows == 0:
+            return 0
+        by_shard: dict[int, list[int]] = defaultdict(list)
+        for i, d in enumerate(rows.column("url_hash").to_pylist()):
+            by_shard[shard_of(d, self.cfg.num_shards)].append(i)
+        if self.cfg.mode == "ray":
+            import ray
+
+            return sum(
+                ray.get(
+                    [
+                        getattr(self.shards[sid], method).remote(
+                            rows.take(pa.array(idxs))
+                        )
+                        for sid, idxs in by_shard.items()
+                    ]
+                )
+            )
+        return sum(
+            getattr(self.shards[sid], method)(rows.take(pa.array(idxs)))
+            for sid, idxs in by_shard.items()
+        )
+
+    # -- seeding -----------------------------------------------------------
+
+    def seed(self, specs: list[dict]) -> int:
+        rows = build_frontier_rows(specs, base_ts=self.cfg.base_ts_us)
+        return self._route(rows, "offer")
+
+    # -- scheduling --------------------------------------------------------
+
+    def _quotas(self, shard_counts: list[dict[str, int]]):
+        """Weighted split of the epoch budget across queue classes
+        (reference QueueSet pop weights, lib/crawlerFactory.js:80),
+        then proportional split across shards."""
+        totals = {q: sum(c.get(q, 0) for c in shard_counts) for q in QUEUES}
+        active = [q for q in QUEUES if totals[q] > 0]
+        if not active:
+            return None, 0
+        budget = self.cfg.epoch_budget
+        wsum = sum(QUEUE_WEIGHTS[q] for q in active)
+        quota: dict[str, int] = {}
+        for q in active:
+            quota[q] = min(
+                totals[q], math.ceil(budget * QUEUE_WEIGHTS[q] / wsum)
+            )
+        # redistribute leftover budget in priority order (events first)
+        leftover = budget - sum(quota.values())
+        for q in active:
+            if leftover <= 0:
+                break
+            extra = min(leftover, totals[q] - quota[q])
+            quota[q] += extra
+            leftover -= extra
+        # per-shard proportional quotas
+        per_shard = []
+        for c in shard_counts:
+            sq = {}
+            for q in active:
+                if totals[q] == 0 or quota[q] == 0:
+                    continue
+                share = math.ceil(quota[q] * c.get(q, 0) / totals[q])
+                if share > 0:
+                    sq[q] = share
+            per_shard.append(sq)
+        return per_shard, sum(totals.values())
+
+    # -- epoch body --------------------------------------------------------
+
+    def _process(self, epoch_table: pa.Table, epoch: int, now_us: int) -> pa.Table:
+        chunks = [
+            epoch_table.slice(off, self.cfg.fetch_batch_size)
+            for off in range(0, epoch_table.num_rows, self.cfg.fetch_batch_size)
+        ]
+        if self.cfg.mode == "local":
+            self._local_worker.set_epoch(epoch, now_us)
+            return pa.concat_tables([self._local_worker(c) for c in chunks])
+        import ray
+        import ray.data
+
+        ds = ray.data.from_arrow(chunks)
+        out = ds.map_batches(
+            CrawlWorkerStage,
+            fn_constructor_kwargs=dict(
+                corpus=self.corpus_ref,
+                index=self.index_ref,
+                shards=self.shards,
+                docs_dir=self.docs_dir,
+                child_queue=self.cfg.child_queue,
+                epoch=epoch,
+                now_us=now_us,
+                attenuate=self.cfg.attenuate,
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+            concurrency=max(1, min(self.cfg.fetch_concurrency, len(chunks))),
+            num_cpus=1,
+        )
+        return pa.concat_tables(ray.get(out.to_arrow_refs()))
+
+    def _epoch(self, epoch: int, now_us: int) -> dict:
+        counts = self._call("counts")
+        per_shard, pending = self._quotas(counts)
+        stats = {"pending": pending, "taken": 0, "deferred": 0, "docs": 0,
+                 "offered": 0, "admitted": 0, "failed": 0, "unchanged": 0,
+                 "deadlettered": 0}
+        if pending == 0:
+            return stats
+        takes = self._call_take(per_shard, now_us)
+        taken = [t for t in takes if t.num_rows]
+        if not taken:
+            return stats  # everything deferred; caller advances the clock
+        epoch_table = pa.concat_tables(taken)
+        order = pc.sort_indices(
+            epoch_table,
+            sort_keys=[
+                ("depth", "ascending"),
+                ("discovery_ts", "ascending"),
+                ("url", "ascending"),
+            ],
+        )
+        epoch_table = epoch_table.take(order)
+        stats["taken"] = epoch_table.num_rows
+
+        # politeness gate: at most rate × window rows per host per epoch
+        hosts = np.asarray(epoch_table.column("url_host").to_pylist(), dtype=object)
+        admit = self.politeness.admit_mask(hosts)
+        if not admit.all():
+            deferred = epoch_table.filter(pa.array(~admit))
+            nb = now_us + int(self.cfg.defer_delay_sec * 1e6)
+            deferred = deferred.set_column(
+                FRONTIER_SCHEMA.names.index("not_before"),
+                "not_before",
+                pa.array([nb] * deferred.num_rows, pa.int64()),
+            )
+            self._route(deferred, "requeue")
+            stats["deferred"] = deferred.num_rows
+            epoch_table = epoch_table.filter(pa.array(admit))
+
+        result = self._process(epoch_table, epoch, now_us)
+
+        summaries = result.filter(pc.equal(result.column("type"), SUMMARY_TYPE))
+        stats["docs"] = int(pc.sum(summaries.column("depth")).as_py() or 0)
+        stats["offered"] = int(pc.sum(summaries.column("discovery_ts")).as_py() or 0)
+        stats["admitted"] = int(pc.sum(summaries.column("attempt_count")).as_py() or 0)
+
+        rest = result.filter(pc.not_equal(result.column("type"), SUMMARY_TYPE))
+        failed = rest.filter(pc.equal(rest.column("status"), 404))
+        stats["unchanged"] = rest.num_rows - failed.num_rows
+        if failed.num_rows:
+            stats["failed"] = failed.num_rows
+            self._handle_failures(failed, epoch, now_us, stats)
+        self._docs_written += stats["docs"]
+        return stats
+
+    def _call_take(self, per_shard, now_us: int):
+        if self.cfg.mode == "ray":
+            import ray
+
+            return ray.get(
+                [
+                    s.take.remote(q, now_us)
+                    for s, q in zip(self.shards, per_shard)
+                ]
+            )
+        return [s.take(q, now_us) for s, q in zip(self.shards, per_shard)]
+
+    def _handle_failures(
+        self, failed: pa.Table, epoch: int, now_us: int, stats: dict
+    ) -> None:
+        """Retry ledger: attempt_count+1 to the retry queue until
+        max_attempts, then deadletter (reference W3/S13)."""
+        self._failed += failed.num_rows
+        attempts = pc.add(failed.column("attempt_count"), 1)
+        failed = failed.set_column(
+            FRONTIER_SCHEMA.names.index("attempt_count"),
+            "attempt_count",
+            attempts.cast(pa.int32()),
+        )
+        retriable_mask = pc.less(attempts, self.cfg.max_attempts)
+        retriable = failed.filter(retriable_mask)
+        exhausted = failed.filter(pc.invert(retriable_mask))
+        if retriable.num_rows:
+            names = FRONTIER_SCHEMA.names
+            retriable = retriable.set_column(
+                names.index("queue"),
+                "queue",
+                pa.array([self.cfg.retry_queue] * retriable.num_rows, pa.string()),
+            )
+            self._route(
+                retriable.select(names), "requeue"
+            )
+        if exhausted.num_rows:
+            dead = exhausted.select(
+                FRONTIER_SCHEMA.names + ["error"]
+            ).append_column(
+                "failed_at", pa.array([now_us] * exhausted.num_rows, pa.int64())
+            )
+            path = os.path.join(self.dead_dir, f"epoch={epoch}.parquet")
+            pq.write_table(dead.cast(DEADLETTER_SCHEMA), path)
+            self._dead += exhausted.num_rows
+            stats["deadlettered"] = exhausted.num_rows
+
+    # -- run loop ----------------------------------------------------------
+
+    def run(
+        self,
+        seeds: list[dict] | None = None,
+        *,
+        start_epoch: int = 0,
+        max_urls: int | None = None,
+    ) -> CrawlResult:
+        cfg = self.cfg
+        if seeds:
+            self.seed(seeds)
+        epoch = start_epoch
+        epoch_us = int(cfg.epoch_seconds * 1e6)
+        clock_us = cfg.base_ts_us + epoch * epoch_us
+        processed = 0
+        while epoch < cfg.max_epochs:
+            stats = self._epoch(epoch, clock_us)
+            if stats["pending"] == 0:
+                break
+            if stats["taken"] == 0:
+                # all pending rows deferred — idle tick: jump the clock
+                # to the earliest not_before (pollingDelay analogue)
+                nbs = [x for x in self._call("min_not_before") if x is not None]
+                if not nbs:
+                    break
+                clock_us = max(clock_us + epoch_us, min(nbs))
+                epoch += 1
+                continue
+            self._record_epoch(epoch, stats)
+            processed += stats["taken"] - stats["deferred"]
+            epoch += 1
+            clock_us += epoch_us
+            self._write_manifest(epoch - 1, completed=False)
+            if max_urls is not None and processed >= max_urls:
+                break
+        metrics = self._metrics_table()
+        self._write_tables(metrics)
+        seen_counts = self._call("seen_count")
+        digests = self._call("seen_digest")
+        import hashlib
+
+        overall = hashlib.sha1("".join(digests).encode()).hexdigest()
+        self._write_manifest(epoch, completed=True)
+        return CrawlResult(
+            state_dir=cfg.state_dir,
+            epochs=epoch,
+            docs_written=self._docs_written,
+            failed=self._failed,
+            deadlettered=self._dead,
+            seen_count=sum(seen_counts),
+            seen_digest=overall,
+            metrics=metrics,
+        )
+
+    # -- bookkeeping -------------------------------------------------------
+
+    def _record_epoch(self, epoch: int, stats: dict) -> None:
+        lineage = self._call("flush_epoch", epoch)
+        for rec in lineage:
+            self._lineage_rows.append(
+                {
+                    "frontier_epoch": epoch,
+                    "shard_id": rec["shard_id"],
+                    "filter_snapshot_id": rec["filter_snapshot_id"],
+                    "admitted": rec["admitted"],
+                    "op_ts": 0,
+                }
+            )
+        name_map = {
+            "taken": "fetch",
+            "docs": "done",
+            "failed": "abandon",
+            "admitted": "push",
+            "deferred": "defer",
+            "offered": "offered",
+            "unchanged": "unchanged",
+            "deadlettered": "deadletter",
+        }
+        for key, metric in name_map.items():
+            self._metrics_rows.append(
+                {"epoch": epoch, "name": metric, "value": stats[key]}
+            )
+
+    def _metrics_table(self) -> pa.Table:
+        if not self._metrics_rows:
+            return METRICS_SCHEMA.empty_table()
+        return pa.Table.from_pylist(self._metrics_rows, schema=METRICS_SCHEMA)
+
+    def _write_tables(self, metrics: pa.Table) -> None:
+        pq.write_table(
+            metrics, os.path.join(self.cfg.state_dir, "metrics.parquet")
+        )
+        lineage = (
+            pa.Table.from_pylist(self._lineage_rows, schema=LINEAGE_SCHEMA)
+            if self._lineage_rows
+            else LINEAGE_SCHEMA.empty_table()
+        )
+        pq.write_table(
+            lineage, os.path.join(self.cfg.state_dir, "lineage.parquet")
+        )
+
+    def _write_manifest(self, last_epoch: int, *, completed: bool) -> None:
+        manifest = {
+            "last_epoch": last_epoch,
+            "completed": completed,
+            "snapshot_id": self.cfg.snapshot_id,
+            "num_shards": self.cfg.num_shards,
+            "seen_filter": self.cfg.seen_filter,
+        }
+        tmp = os.path.join(self.cfg.state_dir, ".manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.cfg.state_dir, "manifest.json"))
+
+
+def resume_crawl(corpus: pa.Table, cfg: CrawlConfig) -> CrawlResult:
+    """Resume an interrupted crawl from on-disk state (north rule):
+    rebuild every shard's URL-seen filter by replaying lineage —
+    processed keys (documents + deadletters) are marked seen first,
+    then all admitted rows are re-offered: already-processed rows
+    bounce off the filter, unprocessed rows re-enter the pending heaps.
+    The rebuilt seen set is IDENTICAL to the pre-kill set (asserted in
+    tests via seen_digest). Deviation (documented): in-flight retry
+    counters and deferrals reset to the admitted-time row state.
+    """
+    with open(os.path.join(cfg.state_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    engine = CrawlEngine(corpus, cfg)
+
+    processed_files = sorted(
+        glob(os.path.join(cfg.state_dir, "documents", "epoch=*", "*.parquet"))
+    ) + sorted(glob(os.path.join(cfg.state_dir, "deadletters", "*.parquet")))
+    for f in processed_files:
+        hashes = pq.read_table(f, columns=["url_hash"]).column("url_hash").to_pylist()
+        by_shard: dict[int, list[bytes]] = defaultdict(list)
+        for d in hashes:
+            by_shard[shard_of(d, cfg.num_shards)].append(d)
+        if cfg.mode == "ray":
+            import ray
+
+            ray.get(
+                [
+                    engine.shards[sid].mark_seen.remote(ds)
+                    for sid, ds in by_shard.items()
+                ]
+            )
+        else:
+            for sid, ds in by_shard.items():
+                engine.shards[sid].mark_seen(ds)
+
+    admitted_files = sorted(
+        glob(os.path.join(cfg.state_dir, "admitted", "epoch=*", "*.parquet"))
+    )
+    for f in admitted_files:
+        engine._route(pq.read_table(f), "offer")
+
+    return engine.run(start_epoch=manifest["last_epoch"] + 1)

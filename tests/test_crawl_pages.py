@@ -1,0 +1,141 @@
+"""End-to-end web crawl over the synthetic pages corpus.
+
+Oracle: a pure-Python BFS over the corpus link graph (canonicalized)
+computes the exact reachable set; the engine must crawl exactly that
+set, with byte-identical extracted text per url (north rule), dangling
+links deadlettered after max_attempts, and identical results under
+politeness throttling, multi-shard ray mode, and resume-from-checkpoint.
+"""
+
+import pyarrow.parquet as pq
+import pytest
+
+from raycrawl.corpus import default_seeds, make_pages_corpus
+from raycrawl.functions.urlnorm import rfc3986_normalize
+from raycrawl.pipelines.crawl import CrawlConfig, CrawlEngine, resume_crawl
+from raycrawl.stages.extract import extract_links
+
+
+def bfs_oracle(corpus, seeds):
+    """Reachable canonical urls + dangling canonical urls encountered."""
+    pages = {}
+    for url, html in zip(
+        corpus.column("url").to_pylist(), corpus.column("html").to_pylist()
+    ):
+        pages[rfc3986_normalize(url)] = html
+    frontier = [rfc3986_normalize(s["url"]) for s in seeds]
+    seen = set(frontier)
+    reachable, dangling = set(), set()
+    while frontier:
+        nxt = []
+        for u in frontier:
+            if u not in pages:
+                dangling.add(u)
+                continue
+            reachable.add(u)
+            for link in extract_links(pages[u], u):
+                c = rfc3986_normalize(link)
+                if c not in seen:
+                    seen.add(c)
+                    nxt.append(c)
+        frontier = nxt
+    return reachable, dangling
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return make_pages_corpus(num_hosts=6, pages_per_host=20, seed=42)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return bfs_oracle(corpus, default_seeds(2))
+
+
+def _run(corpus, tmp_path, **overrides):
+    cfg = CrawlConfig(
+        state_dir=str(tmp_path / "state"),
+        mode="local",
+        num_shards=3,
+        epoch_budget=50,
+        **overrides,
+    )
+    engine = CrawlEngine(corpus, cfg)
+    return cfg, engine.run(seeds=default_seeds(2))
+
+
+def _check_against_oracle(corpus, result, oracle):
+    reachable, dangling = oracle
+    docs = result.documents_table()
+    assert set(docs.column("url").to_pylist()) == reachable
+    assert docs.num_rows == len(reachable)  # no duplicate crawls
+    # byte-identical text per url (north rule)
+    golden = dict(
+        zip(corpus.column("url").to_pylist(), corpus.column("text").to_pylist())
+    )
+    canon_golden = {rfc3986_normalize(u): t for u, t in golden.items()}
+    for url, text in zip(
+        docs.column("url").to_pylist(), docs.column("text").to_pylist()
+    ):
+        assert text == canon_golden[url]
+    # dangling links exhausted retries -> deadletter table
+    dead = result.deadletters_table()
+    assert set(dead.column("url").to_pylist()) == dangling
+    assert (
+        dead.column("attempt_count").to_pylist()
+        == [3] * dead.num_rows
+    )
+
+
+def test_local_crawl_matches_bfs_oracle(corpus, oracle, tmp_path):
+    _, result = _run(corpus, tmp_path)
+    _check_against_oracle(corpus, result, oracle)
+
+
+def test_politeness_throttled_same_result(corpus, oracle, tmp_path):
+    _, result = _run(corpus, tmp_path, host_rate_per_sec=5)
+    _check_against_oracle(corpus, result, oracle)
+    defer = sum(
+        m["value"] for m in result.metrics.to_pylist() if m["name"] == "defer"
+    )
+    assert defer > 0  # throttling actually deferred work
+
+
+def test_bloom_filter_same_result(corpus, oracle, tmp_path):
+    _, result = _run(
+        corpus, tmp_path, seen_filter="bloom", seen_capacity=100_000
+    )
+    _check_against_oracle(corpus, result, oracle)
+
+
+def test_ray_mode_matches_oracle(corpus, oracle, tmp_path, ray_session):
+    cfg = CrawlConfig(
+        state_dir=str(tmp_path / "state"),
+        mode="ray",
+        num_shards=3,
+        epoch_budget=50,
+        fetch_concurrency=2,
+        fetch_batch_size=16,
+    )
+    result = CrawlEngine(corpus, cfg).run(seeds=default_seeds(2))
+    _check_against_oracle(corpus, result, oracle)
+
+
+def test_resume_reproduces_seen_set(corpus, oracle, tmp_path):
+    # uninterrupted reference run
+    _, full = _run(corpus, tmp_path / "full")
+    # interrupted run: stop after ~3 epochs, then resume
+    cfg = CrawlConfig(
+        state_dir=str(tmp_path / "partial" / "state"),
+        mode="local",
+        num_shards=3,
+        epoch_budget=50,
+    )
+    engine = CrawlEngine(corpus, cfg)
+    partial = engine.run(seeds=default_seeds(2), max_urls=120)
+    assert partial.docs_written < full.docs_written  # actually interrupted
+    resumed = resume_crawl(corpus, cfg)
+    assert resumed.seen_digest == full.seen_digest  # identical URL-seen set
+    docs = resumed.documents_table()
+    assert set(docs.column("url").to_pylist()) == oracle[0]
+    assert docs.num_rows == len(oracle[0])  # resume did not re-crawl

@@ -1,0 +1,67 @@
+import numpy as np
+
+from raycrawl.corpus import default_seeds, make_pages_corpus, page_url
+from raycrawl.stages.extract import extract_links, extract_text
+
+HTML = (
+    b"<html><head><title>T</title><style>.a{}</style></head><body>"
+    b"<h1>Head&amp;er</h1><p>one  two</p><!-- hidden -->"
+    b'<a href="/rel/x">r</a><a href="http://b.com/y#frag">abs</a>'
+    b'<a href="mailto:z@q.com">m</a><a href="http://b.com/y">dup</a>'
+    b"<script>var x='<p>no</p>';</script></body></html>"
+)
+
+
+def test_extract_text_deterministic():
+    t1 = extract_text(HTML)
+    t2 = extract_text(HTML)
+    assert t1 == t2
+    assert "Head&er" in t1
+    assert "one two" in t1           # whitespace collapsed
+    assert "hidden" not in t1        # comments stripped
+    assert "var x" not in t1         # script stripped
+    assert ".a{}" not in t1          # style stripped
+
+
+def test_extract_links():
+    links = extract_links(HTML, "http://a.com/base/page")
+    assert links == ["http://a.com/rel/x", "http://b.com/y"]
+
+
+def test_corpus_deterministic():
+    t1 = make_pages_corpus(num_hosts=3, pages_per_host=5, seed=7)
+    t2 = make_pages_corpus(num_hosts=3, pages_per_host=5, seed=7)
+    assert t1.equals(t2)
+    t3 = make_pages_corpus(num_hosts=3, pages_per_host=5, seed=8)
+    assert not t1.equals(t3)
+
+
+def test_corpus_text_invariant():
+    """The oracle text column IS extract_text(html) — byte-identical."""
+    t = make_pages_corpus(num_hosts=3, pages_per_host=5, seed=42)
+    for html, text in zip(
+        t.column("html").to_pylist(), t.column("text").to_pylist()
+    ):
+        assert extract_text(html) == text
+
+
+def test_corpus_links_resolve_to_known_hosts():
+    t = make_pages_corpus(num_hosts=4, pages_per_host=6, seed=42)
+    urls = set(t.column("url").to_pylist())
+    from raycrawl.functions.urlnorm import rfc3986_normalize
+
+    n_links = n_resolved = 0
+    for url, html in zip(t.column("url").to_pylist(), t.column("html").to_pylist()):
+        for link in extract_links(html, url):
+            n_links += 1
+            if rfc3986_normalize(link) in urls:
+                n_resolved += 1
+    assert n_links > 0
+    assert n_resolved / n_links > 0.8  # most links resolve (some dangle)
+    assert n_resolved < n_links        # but dangling links exist
+
+
+def test_seeds():
+    seeds = default_seeds(2)
+    assert seeds[0]["url"] == page_url(0, 0)
+    assert all(s["queue"] == "normal" for s in seeds)

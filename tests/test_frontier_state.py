@@ -1,0 +1,137 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from raycrawl.pipelines.crawl import build_frontier_rows
+from raycrawl.state.frontier import FrontierShardState
+from raycrawl.state.politeness import PolitenessPolicy, parse_robots
+from raycrawl.state.seenfilter import BloomSeenFilter, ExactSeenFilter
+
+
+def _digest(i: int) -> bytes:
+    import hashlib
+
+    return hashlib.sha1(str(i).encode()).digest()
+
+
+@pytest.mark.parametrize("cls", [ExactSeenFilter, BloomSeenFilter])
+def test_seen_filter_insert_if_absent(cls):
+    f = cls()
+    d = [_digest(i) for i in range(100)]
+    mask = f.add_if_absent(d)
+    assert mask.all()
+    again = f.add_if_absent(d)
+    assert not again.any()
+    assert len(f) == 100
+
+
+@pytest.mark.parametrize("cls", [ExactSeenFilter, BloomSeenFilter])
+def test_seen_filter_in_batch_duplicates(cls):
+    """Mirror of the reference tracker's concurrency contract: duplicate
+    offers admit exactly once (requestTrackerTests.js:359-387)."""
+    f = cls()
+    batch = [_digest(1), _digest(2), _digest(1), _digest(1), _digest(2)]
+    mask = f.add_if_absent(batch)
+    assert list(mask) == [True, True, False, False, False]
+
+
+def test_bloom_no_false_negatives_and_bounded_fp():
+    f = BloomSeenFilter(capacity=10_000, fpr=1e-3)
+    members = [_digest(i) for i in range(10_000)]
+    f.add_if_absent(members)
+    assert f.contains(members).all()
+    probes = [_digest(i) for i in range(20_000, 40_000)]
+    fp = int(f.contains(probes).sum())
+    assert fp / len(probes) < 5e-3
+
+
+def test_seen_digest_order_insensitive():
+    a, b = ExactSeenFilter(), ExactSeenFilter()
+    d = [_digest(i) for i in range(50)]
+    a.add_if_absent(d)
+    b.add_if_absent(list(reversed(d)))
+    assert a.digest() == b.digest()
+
+
+def _rows(urls, queue="normal", depth=0, ts0=1000):
+    specs = [{"url": u, "queue": queue} for u in urls]
+    t = build_frontier_rows(specs, base_ts=ts0, depth=depth)
+    return t
+
+
+def test_shard_offer_dedup_and_take_order():
+    s = FrontierShardState(0, 1)
+    t1 = _rows([f"http://a.com/{i}" for i in range(5)])
+    assert s.offer(t1) == 5
+    assert s.offer(t1) == 0  # bounced
+    assert s.metrics["bounce"] == 5
+    taken = s.take({"normal": 3}, now_us=10**12)
+    assert taken.num_rows == 3
+    # priority order: (depth, discovery_ts)
+    assert taken.column("url").to_pylist() == [
+        "http://a.com/0", "http://a.com/1", "http://a.com/2"
+    ]
+    assert s.pending_total() == 2
+
+
+def test_shard_depth_priority():
+    s = FrontierShardState(0, 1)
+    s.offer(_rows(["http://a.com/deep"], depth=5, ts0=1))
+    s.offer(_rows(["http://a.com/shallow"], depth=1, ts0=2))
+    taken = s.take({"normal": 2}, now_us=10**12)
+    assert taken.column("url").to_pylist() == [
+        "http://a.com/shallow", "http://a.com/deep"
+    ]
+
+
+def test_shard_not_before_deferral():
+    s = FrontierShardState(0, 1)
+    t = _rows(["http://a.com/x"])
+    t = t.set_column(
+        t.schema.names.index("not_before"), "not_before",
+        pa.array([5000], pa.int64()),
+    )
+    s.offer(t)
+    assert s.take({"normal": 1}, now_us=1000).num_rows == 0
+    assert s.pending_total() == 1  # retained
+    assert s.min_not_before() == 5000
+    assert s.take({"normal": 1}, now_us=6000).num_rows == 1
+
+
+def test_shard_requeue_skips_dedup():
+    s = FrontierShardState(0, 1)
+    t = _rows(["http://a.com/x"])
+    s.offer(t)
+    s.take({"normal": 1}, now_us=10**12)
+    s.requeue(t)  # retry of an already-seen url
+    assert s.pending_total() == 1
+
+
+def test_shard_queue_classes():
+    s = FrontierShardState(0, 1)
+    s.offer(_rows(["http://a.com/n"], queue="normal"))
+    s.offer(_rows(["http://a.com/e"], queue="events"))
+    assert s.counts()["events"] == 1
+    taken = s.take({"events": 1}, now_us=10**12)
+    assert taken.column("url").to_pylist() == ["http://a.com/e"]
+
+
+def test_politeness_admit_mask():
+    p = PolitenessPolicy(host_rate_per_sec=2, epoch_seconds=1.0)
+    hosts = np.array(["a", "a", "a", "b", "a", "b", "b"], dtype=object)
+    mask = p.admit_mask(hosts)
+    assert list(mask) == [True, True, False, True, False, True, False]
+
+
+def test_robots_parse():
+    rules = parse_robots(
+        "User-agent: *\nDisallow: /private\nCrawl-delay: 2\n\n"
+        "User-agent: other\nDisallow: /\n"
+    )
+    assert not rules.allowed("/private/x")
+    assert rules.allowed("/public")
+    assert rules.crawl_delay == 2.0
+    p = PolitenessPolicy(host_rate_per_sec=10, epoch_seconds=1.0,
+                         robots={"a.com": rules})
+    assert p.allowance("a.com") == 1  # crawl-delay caps the rate
+    assert p.allowance("b.com") == 10
