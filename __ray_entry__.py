@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module; none
+of the callables below (nor the raycrawl library) ever call
+``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship crawl over a pages corpus derived from
+  /root/testdata/sf0.001 — the full frontier/dedup/politeness engine.
+- ``queries()``: one entry per implemented operator from SURVEY.md §2
+  (crawl-operator analogues + training-data ops), each a callable
+  ``fn(sf_dir) -> Dataset | pyarrow.Table | pandas.DataFrame``.
+- ``oracle_sql()``: DuckDB twins for the SQL-expressible subset;
+  non-SQL-expressible ops (iterative crawl, sketches, ANN, heuristics)
+  are intentionally omitted → rows-only driver check, with their real
+  oracles asserted in tests/.
 """
 
 from __future__ import annotations
@@ -19,26 +21,29 @@ from collections.abc import Callable
 from typing import Any
 
 
+def _registry():
+    # importing registers every @query into the shared registry
+    from raycrawl.pipelines import analytics, flagship, textops  # noqa: F401
+    from raycrawl.pipelines.analytics import ORACLES, QUERIES
+
+    return QUERIES, ORACLES
+
+
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (driver smoke check)."""
+    from raycrawl.pipelines.flagship import run_crawl
+
+    _, table = run_crawl(
+        "/root/testdata/sf0.001", pages_per_doc=1, epoch_budget=5_000
+    )
+    return table
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q, _ = _registry()
+    return dict(q)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    _, o = _registry()
+    return dict(o)

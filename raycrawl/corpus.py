@@ -137,6 +137,88 @@ def default_seeds(num_seed_hosts: int = 2) -> list[dict]:
     ]
 
 
+def corpus_from_documents(
+    docs: pa.Table,
+    *,
+    pages_per_doc: int = 1,
+    out_degree: int = 8,
+    seed: int = 42,
+    dangling_frac: float = 0.02,
+    variant_frac: float = 0.05,
+) -> pa.Table:
+    """Derive a deterministic pages corpus from a driver ``documents``
+    table (doc_id, text, lang, source): each doc spawns `pages_per_doc`
+    pages on a host named after its source, with page text drawn from
+    the doc text and a seeded skewed link graph. Used by the flagship
+    entry() / bench so the crawl input derives from /root/testdata."""
+    rng = np.random.default_rng(seed)
+    doc_ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    langs = docs.column("lang").to_pylist()
+    sources = docs.column("source").to_pylist()
+    n_docs = len(doc_ids)
+    n = n_docs * pages_per_doc
+
+    def _url(i: int) -> str:
+        d, p = divmod(i, pages_per_doc)
+        return f"http://{sources[d]}.example.com/doc/{doc_ids[d]}/{p}"
+
+    # skew: link-target popularity ~ zipf over page index
+    w = 1.0 / (np.arange(n) + 1.0)
+    w /= w.sum()
+    targets = rng.choice(n, size=(n, out_degree), p=w)
+    dangle = rng.random((n, out_degree)) < dangling_frac
+    variant = rng.random((n, out_degree)) < variant_frac
+
+    urls, tss, htmls, out_texts, out_langs = [], [], [], [], []
+    for i in range(n):
+        d = i // pages_per_doc
+        links = []
+        for j in range(out_degree):
+            if dangle[i, j]:
+                links.append(
+                    f"http://{sources[d]}.example.com/missing/{int(targets[i, j])}"
+                )
+                continue
+            target = _url(int(targets[i, j]))
+            if variant[i, j]:
+                target = _noncanonical_variant(target, rng)
+            links.append(target)
+        anchors = "".join(
+            f'<a href="{link}">link {j}</a>' for j, link in enumerate(links)
+        )
+        html = (
+            f"<html><head><title>doc {doc_ids[d]}</title></head>"
+            f"<body><h1>{sources[d]}</h1><p>{texts[d]}</p>"
+            f"<div>{anchors}</div><script>var d={i};</script></body></html>"
+        ).encode("utf-8")
+        urls.append(_url(i))
+        tss.append(BASE_TS_US + i * 1_000_000)
+        htmls.append(html)
+        out_texts.append(extract_text(html))
+        out_langs.append(langs[d])
+
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(out_texts, pa.string()),
+            "lang": pa.array(out_langs, pa.string()),
+        }
+    )
+
+
+def seeds_for_corpus(corpus: pa.Table, num_seeds: int = 4) -> list[dict]:
+    """Seed list = the first pages of the corpus (deterministic)."""
+    urls = corpus.column("url").to_pylist()
+    step = max(1, len(urls) // num_seeds)
+    return [
+        {"url": urls[i], "type": "page", "policy": "default", "queue": "normal"}
+        for i in range(0, min(len(urls), num_seeds * step), step)
+    ][:num_seeds]
+
+
 # ---------------------------------------------------------------------------
 # GitHub-entity golden fixture (transcribed behavior, not copied code).
 # ---------------------------------------------------------------------------

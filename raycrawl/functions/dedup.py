@@ -1,0 +1,107 @@
+"""Deduplication kernels: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Per-batch vectorized kernels (numpy) designed for the mergeable-sketch
+pattern: compute signatures inside ``map_batches``, then group only the
+tiny signature tables — never shuffle the documents themselves.
+
+All hashing is derived from blake2b with fixed seeds — deterministic
+across processes and runs (no PYTHONHASHSEED dependence).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _stable_hash64(token: str) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "big"
+    )
+
+
+def shingles(text: str, k: int = 5) -> set[int]:
+    """Word k-shingles -> stable 64-bit hashes."""
+    words = text.split()
+    if len(words) < k:
+        return {_stable_hash64(" ".join(words))} if words else set()
+    return {
+        _stable_hash64(" ".join(words[i : i + k]))
+        for i in range(len(words) - k + 1)
+    }
+
+
+def char_ngrams(text: str, n: int = 3) -> set[int]:
+    if len(text) < n:
+        return {_stable_hash64(text)} if text else set()
+    return {_stable_hash64(text[i : i + n]) for i in range(len(text) - n + 1)}
+
+
+class MinHasher:
+    """num_perms universal-hash permutations h_i(x) = (a_i x + b_i) mod p.
+
+    Seeded; build once per actor (``__init__`` of a map_batches class),
+    reuse per batch.
+    """
+
+    def __init__(self, num_perms: int = 128, seed: int = 7) -> None:
+        rng = np.random.default_rng(seed)
+        self.num_perms = num_perms
+        self.a = rng.integers(1, int(_MERSENNE), num_perms, dtype=np.uint64)
+        self.b = rng.integers(0, int(_MERSENNE), num_perms, dtype=np.uint64)
+
+    def signature(self, hashed_shingles: set[int]) -> np.ndarray:
+        if not hashed_shingles:
+            return np.full(self.num_perms, np.iinfo(np.uint64).max,
+                           dtype=np.uint64)
+        x = np.fromiter(hashed_shingles, dtype=np.uint64,
+                        count=len(hashed_shingles))
+        # multiply-shift universal hashing in uint64 (wraparound mod
+        # 2^64 with odd multipliers) — vectorized, no Python ints
+        with np.errstate(over="ignore"):
+            prod = x[None, :] * (self.a[:, None] | np.uint64(1)) + self.b[:, None]
+        return prod.min(axis=1)
+
+    def band_keys(self, sig: np.ndarray, num_bands: int = 16) -> list[bytes]:
+        """LSH: split the signature into bands; equal band bytes =>
+        candidate pair."""
+        rows = self.num_perms // num_bands
+        return [
+            sig[i * rows : (i + 1) * rows].tobytes() for i in range(num_bands)
+        ]
+
+
+def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float((sig_a == sig_b).mean())
+
+
+def jaccard(a: set[int], b: set[int]) -> float:
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    return len(a & b) / len(a | b)
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens (unit weights), vectorized."""
+    words = text.split()
+    if not words:
+        return 0
+    hashes = np.fromiter((_stable_hash64(w) for w in words),
+                         dtype=np.uint64, count=len(words))
+    bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
+    acc = np.where(bits.astype(bool), 1, -1).sum(axis=0)
+    out = int(
+        np.bitwise_or.reduce(
+            (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+        )
+    )
+    return out & 0x7FFF_FFFF_FFFF_FFFF  # keep in int64 range
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")

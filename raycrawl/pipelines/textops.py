@@ -1,0 +1,518 @@
+"""Training-data pipeline operators over documents/embeddings tables:
+dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
+search (brute-force + LSH ANN), text analysis (lang-ID, quality,
+token counting, fingerprinting), and the multimodal binary-payload
+plumbing. Registered into the same QUERIES/ORACLES registry as
+analytics.py; entries without oracle SQL are non-SQL-expressible and
+get the driver's rows-only check (their correctness is asserted in
+tests/test_textops.py instead)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..functions.dedup import (
+    MinHasher,
+    char_ngrams,
+    est_jaccard,
+    jaccard,
+    shingles,
+    simhash64,
+)
+from ..functions.similarity import (
+    LshIndex,
+    as_matrix,
+    cosine_topk_partial,
+    merge_topk,
+)
+from ..functions.textstats import (
+    TOKEN_REGEX_SQL,
+    fingerprints_batch,
+    langid,
+    punct_counts_batch,
+    quality_score,
+    token_counts_batch,
+)
+from .analytics import _read, query
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    "SELECT doc_id, LENGTH(text) AS n_chars_calc, "
+    f"LEN(regexp_extract_all(text, '{TOKEN_REGEX_SQL}')) AS n_tokens, "
+    "LEN(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\r]')) AS n_punct "
+    "FROM documents",
+)
+def text_token_stats(sf_dir: str):
+    """Token counting + punctuation stats, vectorized per batch with
+    compiled regexes (quality-scoring features)."""
+
+    def stats(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars_calc": pa.array(
+                    [len(x) for x in texts], pa.int64()
+                ),
+                "n_tokens": pa.array(token_counts_batch(texts), pa.int64()),
+                "n_punct": pa.array(punct_counts_batch(texts), pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+@query(
+    "lang_agg",
+    "SELECT lang, COUNT(*) AS n_docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
+    "FROM documents GROUP BY lang",
+)
+def lang_agg(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    )
+
+
+@query("langid_heuristic")  # heuristic — rows-only check
+def langid_heuristic(sf_dir: str):
+    """Language-ID via stopword-ratio heuristic (actor-pool stage: the
+    stopword tables load once per actor)."""
+
+    class LangId:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            preds = [langid(x) for x in t.column("text").to_pylist()]
+            return pa.table(
+                {"doc_id": t["doc_id"], "lang_pred": pa.array(preds)}
+            )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", concurrency=2
+    )
+
+
+@query("quality_scores")  # multi-factor heuristic — rows-only check
+def quality_scores(sf_dir: str):
+    def score(t: pa.Table) -> pa.Table:
+        scores = [quality_score(x) for x in t.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "quality": pa.array(scores, pa.float64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+@query("doc_fingerprints")  # FNV rolling hash — rows-only check
+def doc_fingerprints(sf_dir: str):
+    def fp(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fingerprint": pa.array(
+                    fingerprints_batch(t.column("text").to_pylist()),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_exact_dedup",
+    "SELECT md5(text) AS text_hash, MIN(doc_id) AS doc_id "
+    "FROM documents GROUP BY 1",
+)
+def text_exact_dedup(sf_dir: str):
+    """Exact dedup: content-hash per batch (vectorized md5), then
+    hash-partitioned keep-first (ray_guide 'exact dedup' pattern)."""
+    from ray.data.aggregate import Min
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        hashes = [
+            hashlib.md5(x.encode("utf-8")).hexdigest()
+            for x in t.column("text").to_pylist()
+        ]
+        return pa.table(
+            {"text_hash": pa.array(hashes), "doc_id": t["doc_id"]}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("text_hash")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+    )
+
+
+@query("minhash_lsh_dupes")  # sketch + groupby — rows-only check
+def minhash_lsh_dupes(sf_dir: str, threshold: float = 0.5):
+    """Near-dup detection: shingle → MinHash(128) → LSH band buckets →
+    candidate pairs within buckets → signature-Jaccard verify.
+    Signatures are computed per batch (mergeable-sketch pattern); only
+    the tiny (band_key, doc_id, signature) table shuffles, never the
+    documents."""
+    class Sign:
+        def __init__(self):
+            self.h = MinHasher(num_perms=128, seed=7)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, bands, sigs = [], [], []
+            for doc_id, text in zip(
+                t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+            ):
+                sig = self.h.signature(shingles(text, k=3))
+                for band_id, key in enumerate(self.h.band_keys(sig, 16)):
+                    ids.append(doc_id)
+                    bands.append(band_id.to_bytes(2, "big") + key)
+                    sigs.append(sig.tobytes())
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "band_key": pa.array(bands, pa.binary()),
+                    "sig": pa.array(sigs, pa.binary()),
+                }
+            )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype="int64"),
+                 "doc_b": pd.Series([], dtype="int64"),
+                 "est_jaccard": pd.Series([], dtype="float64")}
+            )
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].tolist()
+        sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
+        a_out, b_out, j_out = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                est = est_jaccard(sigs[i], sigs[j])
+                if est >= threshold:
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+                    j_out.append(est)
+        return pd.DataFrame(
+            {"doc_a": a_out, "doc_b": b_out, "est_jaccard": j_out}
+        )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cand = (
+        ds.map_batches(Sign, batch_format="pyarrow", concurrency=2)
+        .groupby("band_key")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    # candidate pairs can surface in several bands — final exact dedup
+    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["doc_a", "doc_b"])
+
+    return cand.groupby("doc_a").map_groups(dedup_pairs, batch_format="pandas")
+
+
+@query("simhash_fingerprints")  # rows-only check
+def simhash_fingerprints(sf_dir: str):
+    def fp(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "simhash": pa.array(
+                    [simhash64(x) for x in t.column("text").to_pylist()],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        fp, batch_format="pyarrow"
+    )
+
+
+@query("ngram_jaccard_topk")  # rows-only check
+def ngram_jaccard_topk(sf_dir: str, k: int = 3, sample: int = 32):
+    """Char-3-gram Jaccard top-k within a fixed sample of docs: the
+    query sample is broadcast; each batch computes exact Jaccard of its
+    docs vs the sample (n-gram sets, no shuffle)."""
+    import ray
+
+    probe = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).slice(0, sample)
+    probe_sets = [
+        (d, char_ngrams(t, 3))
+        for d, t in zip(
+            probe.column("doc_id").to_pylist(), probe.column("text").to_pylist()
+        )
+    ]
+    probe_ref = ray.put(probe_sets)
+
+    class Score:
+        def __init__(self):
+            self.probes = ray.get(probe_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            q_out, d_out, s_out = [], [], []
+            for doc_id, text in zip(
+                t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+            ):
+                grams = char_ngrams(text, 3)
+                for qid, qset in self.probes:
+                    if qid == doc_id:
+                        continue
+                    s = jaccard(qset, grams)
+                    q_out.append(qid)
+                    d_out.append(doc_id)
+                    s_out.append(s)
+            return pa.table(
+                {
+                    "query_id": pa.array(q_out, pa.int64()),
+                    "doc_id": pa.array(d_out, pa.int64()),
+                    "jaccard": pa.array(s_out, pa.float64()),
+                }
+            )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["jaccard", "doc_id"], ascending=[False, True]).head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "doc_id", "rank"]]
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return (
+        ds.map_batches(Score, batch_format="pyarrow", concurrency=2)
+        .groupby("query_id")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_KNN_QUERIES = 5
+_KNN_K = 10
+
+
+@query(
+    "knn_cosine",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+               WHERE vec_id < {_KNN_QUERIES})
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])) DESC,
+             e.vec_id) AS rank
+    FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.query_id
+    QUALIFY rank <= {_KNN_K}
+    """,
+)
+def knn_cosine(sf_dir: str):
+    """Brute-force cosine top-k: broadcast query matrix, per-batch
+    float64 matmul partials, tiny driver-side merge (SURVEY 'similarity
+    search' baseline)."""
+    import ray
+
+    head = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    mask = pc.less(head.column("vec_id"), _KNN_QUERIES)
+    qt = head.filter(mask)
+    q_ids = qt.column("vec_id").to_numpy()
+    q_vecs = as_matrix(qt.column("embedding"))
+    q_ref = ray.put((q_ids, q_vecs))
+
+    class Partial:
+        def __init__(self):
+            self.q_ids, self.q_vecs = ray.get(q_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("vec_id").to_numpy()
+            vecs = as_matrix(t.column("embedding"))
+            qi, nid, sc = cosine_topk_partial(
+                ids, vecs, self.q_vecs, _KNN_K, exclude_ids=self.q_ids
+            )
+            return pa.table(
+                {
+                    "q_idx": pa.array(qi, pa.int64()),
+                    "neighbor_id": pa.array(nid, pa.int64()),
+                    "score": pa.array(sc, pa.float64()),
+                }
+            )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    parts = ds.map_batches(
+        Partial, batch_format="pyarrow", concurrency=2
+    ).to_pandas()
+    qi, nid, rank = merge_topk(
+        parts["q_idx"].to_numpy(),
+        parts["neighbor_id"].to_numpy(),
+        parts["score"].to_numpy(),
+        len(q_ids),
+        _KNN_K,
+    )
+    return pa.table(
+        {
+            "query_id": pa.array(q_ids[qi], pa.int64()),
+            "neighbor_id": pa.array(nid, pa.int64()),
+            "rank": pa.array(rank, pa.int64()),
+        }
+    )
+
+
+@query("knn_lsh")  # approximate — rows-only check (recall vs brute in tests)
+def knn_lsh(sf_dir: str):
+    """LSH-bucketed ANN (the scale path): bucket codes per batch, search
+    only matching buckets with multiprobe."""
+    import ray
+
+    head = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qt = head.filter(pc.less(head.column("vec_id"), _KNN_QUERIES))
+    q_ids = qt.column("vec_id").to_numpy()
+    q_vecs = as_matrix(qt.column("embedding"))
+    dim = q_vecs.shape[1]
+    index = LshIndex(dim, num_planes=8, seed=11)
+    probe_sets = [
+        set(index.probe_codes(q_vecs[i], multiprobe=3))
+        for i in range(len(q_ids))
+    ]
+    q_ref = ray.put((q_ids, q_vecs, probe_sets))
+
+    class Partial:
+        def __init__(self):
+            self.q_ids, self.q_vecs, self.probes = ray.get(q_ref)
+            self.index = LshIndex(dim, num_planes=8, seed=11)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("vec_id").to_numpy()
+            vecs = as_matrix(t.column("embedding"))
+            codes = self.index.codes(vecs)
+            qi_all, nid_all, sc_all = [], [], []
+            for qi, probe in enumerate(self.probes):
+                m = np.isin(codes, list(probe)) & (ids != self.q_ids[qi])
+                if not m.any():
+                    continue
+                sub_ids, sub = ids[m], vecs[m]
+                a, b, c = cosine_topk_partial(
+                    sub_ids, sub, self.q_vecs[qi : qi + 1], _KNN_K
+                )
+                qi_all.append(np.full(len(b), qi, dtype=np.int64))
+                nid_all.append(b)
+                sc_all.append(c)
+            if not qi_all:
+                return pa.table(
+                    {
+                        "q_idx": pa.array([], pa.int64()),
+                        "neighbor_id": pa.array([], pa.int64()),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "q_idx": pa.array(np.concatenate(qi_all), pa.int64()),
+                    "neighbor_id": pa.array(np.concatenate(nid_all), pa.int64()),
+                    "score": pa.array(np.concatenate(sc_all), pa.float64()),
+                }
+            )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    parts = ds.map_batches(
+        Partial, batch_format="pyarrow", concurrency=2
+    ).to_pandas()
+    qi, nid, rank = merge_topk(
+        parts["q_idx"].to_numpy(),
+        parts["neighbor_id"].to_numpy(),
+        parts["score"].to_numpy(),
+        len(q_ids),
+        _KNN_K,
+    )
+    return pa.table(
+        {
+            "query_id": pa.array(q_ids[qi], pa.int64()),
+            "neighbor_id": pa.array(nid, pa.int64()),
+            "rank": pa.array(rank, pa.int64()),
+        }
+    )
+
+
+@query(
+    "label_counts",
+    "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label",
+)
+def label_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return (
+        _read(sf_dir, "embeddings", ["label"])
+        .groupby("label")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary-payload plumbing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_payload_stats",
+    "SELECT doc_id, OCTET_LENGTH(ENCODE(text)) AS n_bytes, "
+    "SHA256(text) AS digest FROM documents",
+)
+def multimodal_payload_stats(sf_dir: str):
+    """Opaque-binary-column plumbing: payloads flow as Arrow binary,
+    metadata (size, digest) extracted per batch in an actor-pool stage.
+    The real decode step (image/audio libs absent here) is stubbed in
+    raycrawl.stages.multimodal behind NotImplementedError."""
+
+    class PayloadStats:
+        def __call__(self, t: pa.Table) -> pa.Table:
+            payloads = [
+                x.encode("utf-8") for x in t.column("text").to_pylist()
+            ]
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_bytes": pa.array(
+                        [len(b) for b in payloads], pa.int64()
+                    ),
+                    "digest": pa.array(
+                        [hashlib.sha256(b).hexdigest() for b in payloads],
+                        pa.string(),
+                    ),
+                }
+            )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        PayloadStats, batch_format="pyarrow", concurrency=2
+    )

@@ -1,0 +1,123 @@
+"""Multimodal columns: image/audio/video as opaque Arrow binary.
+
+The container has no image/audio codecs, so the decode kernels are
+STUBS with the real Ray-side plumbing (schema, batch shape, actor-pool
+signature, output layout) implemented and tested:
+
+- payloads travel as ``binary`` columns with typed metadata columns
+  (``media_type``, ``n_bytes``, ``digest``)
+- decode / resize / frame-sample stages are actor-pool ``map_batches``
+  classes whose ``__init__`` would load the codec once per actor
+- ``DeterministicFakeDecoder`` stands in for the codec in tests: it
+  produces a seeded, shape-correct uint8 tensor from the payload hash,
+  so downstream feature stages are exercised end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("media_type", pa.string()),   # image/jpeg, audio/wav, ...
+        ("payload", pa.binary()),
+        ("n_bytes", pa.int64()),
+        ("digest", pa.string()),
+    ]
+)
+
+
+def attach_payload_metadata(batch: pa.Table) -> pa.Table:
+    """Stateless map_batches body: add (n_bytes, digest) to payloads."""
+    payloads = batch.column("payload").to_pylist()
+    return batch.append_column(
+        "n_bytes", pa.array([len(b) for b in payloads], pa.int64())
+    ).append_column(
+        "digest",
+        pa.array(
+            [hashlib.sha256(b).hexdigest() for b in payloads], pa.string()
+        ),
+    )
+
+
+class ImageDecodeStage:
+    """Actor-pool stage: decode image payloads → (h, w, c) uint8.
+
+    Real decode requires a codec library absent from this container.
+    Construct with ``fake=True`` (tests) to use the deterministic fake.
+    Keep ``batch_size`` small for wide binary payloads (see ray_guide:
+    memory-aware batch sizing).
+    """
+
+    def __init__(self, *, fake: bool = False, size: tuple[int, int] = (32, 32)):
+        self.size = size
+        self.fake = fake
+        if not fake:
+            raise NotImplementedError(
+                "image decode requires a codec library (PIL/cv2) not "
+                "present in this environment; pass fake=True for the "
+                "deterministic stand-in"
+            )
+
+    def _decode_one(self, payload: bytes) -> np.ndarray:
+        h, w = self.size
+        seed = int.from_bytes(
+            hashlib.sha256(payload).digest()[:8], "big"
+        ) % (2**32)
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tensors = [
+            self._decode_one(b) for b in batch.column("payload").to_pylist()
+        ]
+        feats = np.stack([t.mean(axis=(0, 1)) for t in tensors])  # per-channel mean
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "height": pa.array([self.size[0]] * len(tensors), pa.int32()),
+                "width": pa.array([self.size[1]] * len(tensors), pa.int32()),
+                "mean_r": pa.array(feats[:, 0], pa.float64()),
+                "mean_g": pa.array(feats[:, 1], pa.float64()),
+                "mean_b": pa.array(feats[:, 2], pa.float64()),
+            }
+        )
+
+
+class AudioFrameSampleStage:
+    """Actor-pool stage: sample N fixed-offset frames from audio payloads
+    (stub decode — deterministic byte slices stand in for PCM frames)."""
+
+    def __init__(self, *, fake: bool = False, num_frames: int = 4,
+                 frame_bytes: int = 256):
+        self.num_frames = num_frames
+        self.frame_bytes = frame_bytes
+        if not fake:
+            raise NotImplementedError(
+                "audio decode requires a codec; pass fake=True for the "
+                "deterministic stand-in"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_idx, frames = [], [], []
+        for mid, payload in zip(
+            batch.column("media_id").to_pylist(),
+            batch.column("payload").to_pylist(),
+        ):
+            n = max(1, len(payload))
+            for f in range(self.num_frames):
+                off = (f * n) // self.num_frames
+                frames.append(payload[off : off + self.frame_bytes])
+                ids.append(mid)
+                frame_idx.append(f)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame": pa.array(frame_idx, pa.int32()),
+                "frame_payload": pa.array(frames, pa.binary()),
+            }
+        )

@@ -1,0 +1,95 @@
+"""Driver-harness mirror: run every queries() entry at sf0.001 and
+compare SQL-backed ones against DuckDB exactly the way the driver does
+(row count + column names + order-insensitive values)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _to_pandas(result):
+    import pyarrow as pa
+
+    try:
+        import ray.data
+
+        if isinstance(result, ray.data.Dataset):
+            return result.to_pandas()
+    except ImportError:
+        pass
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    return result
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+@pytest.fixture(scope="module")
+def registry(ray_session):
+    import __ray_entry__ as e
+
+    return e.queries(), e.oracle_sql()
+
+
+def test_all_queries_have_callables(registry):
+    queries, oracles = registry
+    assert len(queries) >= 25
+    assert set(oracles) <= set(queries)
+    assert len(oracles) >= 15
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "frontier_queue_depth", "doc_count_by_prefix", "doc_list_by_prefix",
+        "peek_topk", "weighted_queue_order", "dedup_first_by_key",
+        "upsert_latest", "etag_join", "anti_join_unseen", "metrics_rollup",
+        "rate_limit_violations", "deadletter_requeue", "tpch_q1_pricing",
+        "top_sources", "topk_orders_per_status", "events_sessionize",
+        "text_token_stats", "lang_agg", "text_exact_dedup", "knn_cosine",
+        "label_counts", "multimodal_payload_stats",
+    ],
+)
+def test_query_matches_oracle(registry, con, name):
+    queries, oracles = registry
+    got = _normalize(_to_pandas(queries[name](SF_DIR)))
+    want = _normalize(con.execute(oracles[name]).df())
+    assert list(got.columns) == list(want.columns), name
+    assert len(got) == len(want), name
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "langid_heuristic", "quality_scores", "doc_fingerprints",
+        "minhash_lsh_dupes", "simhash_fingerprints", "ngram_jaccard_topk",
+        "knn_lsh",
+    ],
+)
+def test_rows_only_queries_run_and_are_deterministic(registry, name):
+    queries, _ = registry
+    a = _normalize(_to_pandas(queries[name](SF_DIR)))
+    b = _normalize(_to_pandas(queries[name](SF_DIR)))
+    pd.testing.assert_frame_equal(a, b)
