@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Benchmark: headline crawl throughput + representative queries.
+
+Headline: crawl a Common-Crawl-style pages corpus derived from
+``$GRAFT_SF_DIR/documents.parquet`` (amplified ``pages_per_doc``×) with
+the full frontier engine (sharded dedup, politeness, retry ledger,
+lineage). Prints ONE JSON line:
+
+    {"metric": "crawl_wall_sec", "value": <sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "urls_crawled": ..., "urls_per_sec": ...}
+
+``--scaling`` runs the same job in two fresh processes at
+RAY_GRAFT_CPUS=8 and 32 (the sandbox stand-in for N vs 4N nodes) and
+reports throughput at both plus efficiency = (t8/t32)/4.
+
+The synthetic corpus is generated once per (sf, pages_per_doc) into
+/tmp and reused, so scaling runs measure crawl compute, not corpus
+generation; a warm-up read primes the page cache.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+PAGES_PER_DOC = int(os.environ.get("GRAFT_PAGES_PER_DOC", "200"))
+
+QUERY_NAMES = [
+    "tpch_q1_pricing",
+    "text_exact_dedup",
+    "metrics_rollup",
+    "knn_cosine",
+    "minhash_lsh_dupes",
+]
+
+
+def corpus_path() -> str:
+    tag = f"{SF_DIR.replace('/', '_')}_ppd{PAGES_PER_DOC}"
+    return f"/tmp/raycrawl_bench_corpus_{tag}.parquet"
+
+
+def ensure_corpus() -> str:
+    import pyarrow.parquet as pq
+
+    path = corpus_path()
+    if not os.path.exists(path):
+        from raycrawl.corpus import corpus_from_documents
+
+        docs = pq.read_table(
+            f"{SF_DIR}/documents.parquet",
+            columns=["doc_id", "text", "lang", "source"],
+        )
+        corpus = corpus_from_documents(
+            docs, pages_per_doc=PAGES_PER_DOC, seed=42
+        )
+        tmp = path + ".tmp"
+        pq.write_table(corpus, tmp)
+        os.replace(tmp, path)
+    return path
+
+
+def run_bench() -> dict:
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data import DataContext
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from raycrawl.corpus import seeds_for_corpus
+    from raycrawl.pipelines.crawl import CrawlConfig, CrawlEngine
+
+    corpus = pq.read_table(ensure_corpus())  # warm read (untimed)
+    num_shards = max(4, NUM_CPUS // 4)
+    workers = max(2, int(NUM_CPUS * 0.75))
+
+    def crawl_once(tag: str) -> tuple[float, int]:
+        state = tempfile.mkdtemp(prefix=f"raycrawl_bench_{tag}_")
+        cfg = CrawlConfig(
+            state_dir=state,
+            mode="ray",
+            num_shards=num_shards,
+            epoch_budget=max(100_000, corpus.num_rows),
+            fetch_concurrency=workers,
+            fetch_batch_size=4096,
+            seen_filter="bloom",
+            seen_capacity=max(1_000_000, corpus.num_rows * 4 // num_shards),
+        )
+        engine = CrawlEngine(corpus, cfg)
+        t0 = time.perf_counter()
+        result = engine.run(seeds=seeds_for_corpus(corpus, max(64, corpus.num_rows // 50)))
+        wall = time.perf_counter() - t0
+        crawled = result.docs_written + result.deadlettered
+        shutil.rmtree(state, ignore_errors=True)
+        return wall, crawled
+
+    crawl_once("warmup") if corpus.num_rows <= 20_000 else None
+    wall, crawled = crawl_once("timed")
+
+    # representative operator queries
+    from raycrawl.pipelines.analytics import QUERIES  # registry
+    import raycrawl.pipelines.flagship  # noqa: F401
+    import raycrawl.pipelines.textops  # noqa: F401
+
+    qtimes: dict[str, float] = {}
+    for name in QUERY_NAMES:
+        t0 = time.perf_counter()
+        res = QUERIES[name](SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "crawl_wall_sec",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages": corpus.num_rows,
+        "urls_crawled": crawled,
+        "urls_per_sec": round(crawled / wall, 1),
+    }
+
+
+def run_scaling() -> dict:
+    ensure_corpus()  # generate once so both runs measure compute only
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = run(8), run(32)
+    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "urls_per_sec_8": lo["urls_per_sec"],
+        "urls_per_sec_32": hi["urls_per_sec"],
+        "pages": lo["pages"],
+        "scaling_efficiency": round(eff, 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -78,6 +78,7 @@ class CrawlConfig:
     seen_capacity: int = 1_000_000   # per shard (bloom)
     seen_fpr: float = 1e-3
     mode: str = "ray"                # 'ray' | 'local'
+    ray_exec: str = "actors"         # 'actors' (persistent pool) | 'dataset'
     fetch_concurrency: int = 8
     fetch_batch_size: int = 2048
     attenuate: bool = True
@@ -164,6 +165,7 @@ class CrawlEngine:
             epoch_seconds=cfg.epoch_seconds,
             defer_delay_sec=cfg.defer_delay_sec,
         )
+        self._cached_counts = None  # per-epoch counts piggybacked on flush
         self._metrics_rows: list[dict] = []
         self._lineage_rows: list[dict] = []
         self._docs_written = 0
@@ -173,7 +175,9 @@ class CrawlEngine:
         if cfg.mode == "ray":
             import ray
 
-            self.corpus_ref = ray.put(corpus)
+            # combine chunks ONCE so per-actor TableFetcher wrapping is
+            # zero-copy instead of a per-actor concatenation
+            self.corpus_ref = ray.put(corpus.combine_chunks())
             self.index_ref = ray.put(index)
             self.shards = create_shards(
                 cfg.num_shards,
@@ -183,6 +187,21 @@ class CrawlEngine:
                 state_dir=cfg.state_dir,
                 snapshot_id=cfg.snapshot_id,
             )
+            self.workers = []
+            if cfg.ray_exec == "actors":
+                worker_cls = ray.remote(num_cpus=1)(CrawlWorkerStage)
+                self.workers = [
+                    worker_cls.remote(
+                        self.corpus_ref,
+                        self.index_ref,
+                        self.shards,
+                        docs_dir=self.docs_dir,
+                        child_queue=cfg.child_queue,
+                        attenuate=cfg.attenuate,
+                        blocking_offers=False,
+                    )
+                    for _ in range(cfg.fetch_concurrency)
+                ]
         else:
             self.shards = [
                 FrontierShardState(
@@ -219,28 +238,26 @@ class CrawlEngine:
     def _route(self, rows: pa.Table, method: str) -> int:
         """Driver-side routing for small row sets (seeds, retries,
         deferrals); bulk candidate routing happens inside the
-        distributed stage."""
+        distributed stage. Uses the same vectorized splitter as the
+        workers (single-owner invariant)."""
         if rows.num_rows == 0:
             return 0
-        by_shard: dict[int, list[int]] = defaultdict(list)
-        for i, d in enumerate(rows.column("url_hash").to_pylist()):
-            by_shard[shard_of(d, self.cfg.num_shards)].append(i)
+        splitter = CrawlWorkerStage._shard_split
+        holder = type("S", (), {"num_shards": self.cfg.num_shards})()
+        parts = list(splitter(holder, rows))
         if self.cfg.mode == "ray":
             import ray
 
             return sum(
                 ray.get(
                     [
-                        getattr(self.shards[sid], method).remote(
-                            rows.take(pa.array(idxs))
-                        )
-                        for sid, idxs in by_shard.items()
+                        getattr(self.shards[sid], method).remote(sub)
+                        for sid, sub in parts
                     ]
                 )
             )
         return sum(
-            getattr(self.shards[sid], method)(rows.take(pa.array(idxs)))
-            for sid, idxs in by_shard.items()
+            getattr(self.shards[sid], method)(sub) for sid, sub in parts
         )
 
     # -- seeding -----------------------------------------------------------
@@ -290,14 +307,38 @@ class CrawlEngine:
     # -- epoch body --------------------------------------------------------
 
     def _process(self, epoch_table: pa.Table, epoch: int, now_us: int) -> pa.Table:
+        # Chunking: the chunk COUNT must be a multiple of the pool size
+        # or the epoch barrier waits on stragglers (25 chunks over 24
+        # workers = one worker does 2 while 23 idle — measured ~50%
+        # worker utilization). chunk = ceil(n / (pool * m)) with m
+        # chosen so chunks stay near batch_size.
+        n = epoch_table.num_rows
+        pool = max(1, len(getattr(self, "workers", [])) or self.cfg.fetch_concurrency)
+        m = max(1, math.ceil(n / (pool * self.cfg.fetch_batch_size)))
+        nchunks = min(n, pool * m)
+        chunk = math.ceil(n / nchunks)
         chunks = [
-            epoch_table.slice(off, self.cfg.fetch_batch_size)
-            for off in range(0, epoch_table.num_rows, self.cfg.fetch_batch_size)
+            epoch_table.slice(off, chunk) for off in range(0, n, chunk)
         ]
         if self.cfg.mode == "local":
             self._local_worker.set_epoch(epoch, now_us)
             return pa.concat_tables([self._local_worker(c) for c in chunks])
         import ray
+
+        if self.workers:
+            # persistent actor pool (see CrawlWorkerStage.process):
+            # round-robin the equal-size chunks across the pool
+            self._used_workers = [
+                self.workers[i % len(self.workers)]
+                for i in range(min(len(chunks), len(self.workers)))
+            ]
+            refs = [
+                self.workers[i % len(self.workers)].process.remote(
+                    c, epoch, now_us
+                )
+                for i, c in enumerate(chunks)
+            ]
+            return pa.concat_tables(ray.get(refs))
         import ray.data
 
         ds = ray.data.from_arrow(chunks)
@@ -321,27 +362,45 @@ class CrawlEngine:
         return pa.concat_tables(ray.get(out.to_arrow_refs()))
 
     def _epoch(self, epoch: int, now_us: int) -> dict:
-        counts = self._call("counts")
+        import time as _time
+
+        _dbg = os.environ.get("RAYCRAWL_TIMING")
+        _t0 = _time.perf_counter()
+        counts = self._cached_counts
+        if counts is None:
+            counts = self._call("counts")
+        self._cached_counts = None
         per_shard, pending = self._quotas(counts)
         stats = {"pending": pending, "taken": 0, "deferred": 0, "docs": 0,
                  "offered": 0, "admitted": 0, "failed": 0, "unchanged": 0,
                  "deadlettered": 0}
         if pending == 0:
             return stats
+        _t1 = _time.perf_counter()
         takes = self._call_take(per_shard, now_us)
+        _t2 = _time.perf_counter()
         taken = [t for t in takes if t.num_rows]
         if not taken:
             return stats  # everything deferred; caller advances the clock
         epoch_table = pa.concat_tables(taken)
-        order = pc.sort_indices(
-            epoch_table,
-            sort_keys=[
-                ("depth", "ascending"),
-                ("discovery_ts", "ascending"),
-                ("url", "ascending"),
-            ],
+        # priority sort matters when the epoch is budget-limited (which
+        # rows go first) or politeness may defer (who wins the host
+        # allowance); when the whole frontier fits and allowances are
+        # effectively unlimited, skip the O(n log n) driver sort
+        politeness_active = (
+            self.politeness.host_rate_per_sec * self.politeness.epoch_seconds
+            < epoch_table.num_rows
         )
-        epoch_table = epoch_table.take(order)
+        if epoch_table.num_rows < pending or politeness_active:
+            order = pc.sort_indices(
+                epoch_table,
+                sort_keys=[
+                    ("depth", "ascending"),
+                    ("discovery_ts", "ascending"),
+                    ("url", "ascending"),
+                ],
+            )
+            epoch_table = epoch_table.take(order)
         stats["taken"] = epoch_table.num_rows
 
         # politeness gate: at most rate × window rows per host per epoch
@@ -359,12 +418,23 @@ class CrawlEngine:
             stats["deferred"] = deferred.num_rows
             epoch_table = epoch_table.filter(pa.array(admit))
 
+        _t3 = _time.perf_counter()
         result = self._process(epoch_table, epoch, now_us)
+        _t4 = _time.perf_counter()
 
         summaries = result.filter(pc.equal(result.column("type"), SUMMARY_TYPE))
         stats["docs"] = int(pc.sum(summaries.column("depth")).as_py() or 0)
         stats["offered"] = int(pc.sum(summaries.column("discovery_ts")).as_py() or 0)
         stats["admitted"] = int(pc.sum(summaries.column("attempt_count")).as_py() or 0)
+        if self.cfg.mode == "ray" and self.workers:
+            # non-blocking offers: drain() is the epoch barrier — every
+            # shard must have processed its offers before the next take
+            import ray
+
+            used = getattr(self, "_used_workers", None) or self.workers
+            stats["admitted"] = sum(
+                ray.get([w.drain.remote() for w in used])
+            )
 
         rest = result.filter(pc.not_equal(result.column("type"), SUMMARY_TYPE))
         failed = rest.filter(pc.equal(rest.column("status"), 404))
@@ -373,6 +443,15 @@ class CrawlEngine:
             stats["failed"] = failed.num_rows
             self._handle_failures(failed, epoch, now_us, stats)
         self._docs_written += stats["docs"]
+        if _dbg:
+            _t5 = _time.perf_counter()
+            print(
+                f"[epoch {epoch}] taken={stats['taken']} docs={stats['docs']} "
+                f"counts={_t1-_t0:.2f}s take={_t2-_t1:.2f}s "
+                f"sort+polite={_t3-_t2:.2f}s process={_t4-_t3:.2f}s "
+                f"post={_t5-_t4:.2f}s",
+                flush=True,
+            )
         return stats
 
     def _call_take(self, per_shard, now_us: int):
@@ -482,6 +561,7 @@ class CrawlEngine:
 
     def _record_epoch(self, epoch: int, stats: dict) -> None:
         lineage = self._call("flush_epoch", epoch)
+        self._cached_counts = [rec["counts"] for rec in lineage]
         for rec in lineage:
             self._lineage_rows.append(
                 {

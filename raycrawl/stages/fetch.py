@@ -137,6 +137,7 @@ class CrawlWorkerStage:
         epoch: int = 0,
         now_us: int = 0,
         attenuate: bool = True,
+        blocking_offers: bool = True,
     ) -> None:
         try:
             import ray
@@ -155,37 +156,138 @@ class CrawlWorkerStage:
         self.epoch = epoch
         self.now_us = now_us
         self.attenuate = attenuate
+        self.blocking_offers = blocking_offers
         self._local = not hasattr(shards[0].offer, "remote")
+        self._pending_offers: list = []
+        self._offer_buf: dict[int, list[pa.Table]] = {}
+        self._buf_rows: dict[int, int] = {}
+        self._canon_cache: dict[str, tuple[str, bytes, str]] = {}
+        self.timings = {"lookup": 0.0, "visit": 0.0, "cand": 0.0,
+                        "write": 0.0, "out": 0.0, "n": 0}
 
     def set_epoch(self, epoch: int, now_us: int) -> None:  # local-mode reuse
         self.epoch = epoch
         self.now_us = now_us
 
+    def process(self, batch: pa.Table, epoch: int, now_us: int) -> pa.Table:
+        """Persistent-actor entry point: the epoch loop reuses one pool
+        of these actors across ALL epochs (ray.remote on this class),
+        because Ray Data's ActorPoolMapOperator tears its pool down at
+        the end of every Dataset execution and the crawl is iterative —
+        re-initializing corpus handles every epoch would dominate
+        wall-clock. Identical kernel to the map_batches path."""
+        self.set_epoch(epoch, now_us)
+        return self(batch)
+
     # -- candidate routing -------------------------------------------------
 
+    def _shard_split(self, frontier_rows: pa.Table):
+        """Vectorized shard routing: uint64 prefix of url_hash mod S."""
+        digests = frontier_rows.column("url_hash")
+        raw = np.frombuffer(
+            b"".join(digests.to_pylist()), dtype=np.uint8
+        ).reshape(-1, 20)
+        sids = (
+            raw[:, :8].copy().view(np.uint64).reshape(-1)
+            % np.uint64(self.num_shards)
+        ).astype(np.int64)
+        order = np.argsort(sids, kind="stable")
+        sorted_sids = sids[order]
+        bounds = np.r_[
+            0, np.flatnonzero(np.diff(sorted_sids)) + 1, len(sorted_sids)
+        ]
+        for b in range(len(bounds) - 1):
+            idxs = order[bounds[b] : bounds[b + 1]]
+            yield int(sorted_sids[bounds[b]]), frontier_rows.take(
+                pa.array(idxs)
+            )
+
+    OFFER_FLUSH_ROWS = 16_384
+
     def _offer(self, frontier_rows: pa.Table) -> int:
-        by_shard: dict[int, list[int]] = defaultdict(list)
-        for i, d in enumerate(frontier_rows.column("url_hash").to_pylist()):
-            by_shard[shard_of(d, self.num_shards)].append(i)
+        """Route candidates to their owning shards. In ray mode offers
+        are BUFFERED per shard across batches and flushed as large
+        tables (threshold or drain) — per-batch fire-and-forget RPCs
+        were measured to inflate in-worker CPU 30-60% via Ray
+        serialization/IPC contention at high worker counts. drain() is
+        the epoch barrier: it flushes buffers and waits for every
+        ObjectRef, so shards have processed all offers before the next
+        take."""
         if self._local:
             return sum(
-                self.shards[sid].offer(frontier_rows.take(pa.array(idxs)))
-                for sid, idxs in by_shard.items()
+                self.shards[sid].offer(sub)
+                for sid, sub in self._shard_split(frontier_rows)
             )
+        if self.blocking_offers:
+            import ray
+
+            return sum(
+                ray.get(
+                    [
+                        self.shards[sid].offer.remote(sub)
+                        for sid, sub in self._shard_split(frontier_rows)
+                    ]
+                )
+            )
+        for sid, sub in self._shard_split(frontier_rows):
+            self._offer_buf.setdefault(sid, []).append(sub)
+            self._buf_rows[sid] = self._buf_rows.get(sid, 0) + sub.num_rows
+            if self._buf_rows[sid] >= self.OFFER_FLUSH_ROWS:
+                self._flush_shard(sid)
+        return -1  # admitted count resolved at drain()
+
+    def _flush_shard(self, sid: int) -> None:
+        tables = self._offer_buf.pop(sid, None)
+        self._buf_rows[sid] = 0
+        if not tables:
+            return
+        t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
+        if self.attenuate and len(tables) > 1:
+            # cross-batch attenuation: first occurrence per url_hash
+            seen: set[bytes] = set()
+            keep = [
+                i
+                for i, d in enumerate(t.column("url_hash").to_pylist())
+                if d not in seen and not seen.add(d)
+            ]
+            if len(keep) < t.num_rows:
+                t = t.take(pa.array(keep))
+        self._pending_offers.append(self.shards[sid].offer.remote(t))
+
+    def drain(self) -> int:
+        """Barrier: flush buffered offers, wait for every in-flight
+        offer of this worker, return the summed admitted count."""
+        for sid in list(self._offer_buf):
+            self._flush_shard(sid)
+        if not self._pending_offers:
+            return 0
         import ray
 
-        refs = [
-            self.shards[sid].offer.remote(frontier_rows.take(pa.array(idxs)))
-            for sid, idxs in by_shard.items()
-        ]
-        return sum(ray.get(refs))
+        total = sum(ray.get(self._pending_offers))
+        self._pending_offers = []
+        return total
 
     def _build_candidates(
         self, children: list[tuple], depths: list[int]
     ) -> pa.Table:
         """children: (type, url, parent_urn, relation, parent_row)."""
         urls = [c[1] for c in children]
-        norm, digests, hosts = canonicalize_batch(urls)
+        # worker-lifetime memo: zipf-hot link targets recur across
+        # batches, so canonicalization+SHA-1 amortizes to a dict hit
+        cache = self._canon_cache
+        norm, digests, hosts = [], [], []
+        misses = [u for u in set(urls) if u not in cache]
+        if misses:
+            m_norm, m_dig, m_host = canonicalize_batch(misses)
+            for u, a, b, c in zip(misses, m_norm, m_dig, m_host):
+                cache[u] = (a, b, c)
+            if len(cache) > 2_000_000:  # bound worker memory
+                cache.clear()
+        for u in urls:
+            a, b, c = cache[u]
+            norm.append(a)
+            digests.append(b)
+            hosts.append(c)
         if self.attenuate:  # in-batch pre-dedup (attenuation window, D1)
             seen: set[bytes] = set()
             keep = [
@@ -234,7 +336,13 @@ class CrawlWorkerStage:
 
     # -- the batch body ----------------------------------------------------
 
+    def get_timings(self) -> dict:
+        return dict(self.timings)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import time as _t
+
+        _t0 = _t.perf_counter()
         urls = batch.column("url").to_pylist()
         types = batch.column("type").to_pylist()
         depths = batch.column("depth").to_pylist()
@@ -244,6 +352,7 @@ class CrawlWorkerStage:
         url_hashes = batch.column("url_hash").to_pylist()
 
         found, idxs = self.fetcher.lookup(url_hashes)
+        _t1 = _t.perf_counter()
 
         statuses = np.full(len(urls), 404, dtype=np.int32)
         doc_rows: dict[str, list] = defaultdict(list)
@@ -279,12 +388,20 @@ class CrawlWorkerStage:
             for ch in result.children:
                 children.append((ch.type, ch.url, ch.parent_urn, ch.relation, i))
 
+        _t2 = _t.perf_counter()
         offered = len(children)  # pre-dedup (golden queued-children counts)
-        admitted = self._offer(self._build_candidates(children, depths)) if children else 0
+        admitted = (
+            self._offer(self._build_candidates(children, depths))
+            if children
+            else 0
+        )
+        admitted = max(admitted, 0)  # -1 = deferred to drain()
 
+        _t3 = _t.perf_counter()
         n_docs = len(doc_rows["urn"])
         if n_docs and self.docs_dir is not None:
             self._write_docs(doc_rows)
+        _t4 = _t.perf_counter()
 
         keep_mask = statuses != 200
         kept_status = statuses[keep_mask]
@@ -321,4 +438,11 @@ class CrawlWorkerStage:
             ],
             schema=RESULT_SCHEMA,
         )
+        _t5 = _t.perf_counter()
+        self.timings["lookup"] += _t1 - _t0
+        self.timings["visit"] += _t2 - _t1
+        self.timings["cand"] += _t3 - _t2
+        self.timings["write"] += _t4 - _t3
+        self.timings["out"] += _t5 - _t4
+        self.timings["n"] += len(urls)
         return pa.concat_tables([out, summary])

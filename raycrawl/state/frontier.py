@@ -10,18 +10,22 @@ exactly one — is property-tested in
 
 A shard holds, per queue class (events/immediate/soon/normal/later —
 /root/reference/lib/crawlerFactory.js:573-580):
-- a priority heap ordered by ``(depth, discovery_ts, seq)`` (north-star
-  traversal order; FIFO within a BFS level),
+- pending rows as **Arrow tables** with an arrival-sequence column;
+  ``take`` is a vectorized eligibility filter + sort by
+  ``(depth, discovery_ts, seq)`` (north-star priority order; FIFO
+  within a BFS level). No per-row Python in the hot path — an earlier
+  heapq-of-tuples implementation made the shard pool the serial
+  bottleneck of the whole crawl.
 - the insert-if-absent seen filter (see seenfilter.py),
 - an admitted-rows spool flushed to Parquet per epoch (the lineage that
-  makes resume reproduce the identical URL-seen set — the rebuild of the
-  delta store, /root/reference/providers/storage/deltaStore.js:26-31).
+  makes resume reproduce the identical URL-seen set — the rebuild of
+  the delta store, /root/reference/providers/storage/deltaStore.js:26-31).
 
-Scale note (10^10 frontier): pending rows live in shard heaps; beyond
-``max_pending_in_memory`` a production deployment would spill
-lowest-priority rows per (queue, depth) bucket to Parquet and reload as
-heaps drain — the hook (`_maybe_spill`) is left as a documented stub in
-round 1; the seen filter (Bloom) and the admitted spool already scale.
+Scale note (10^10 frontier): pending tables are columnar and compact
+(~150 B/row); beyond memory a deployment would spill the coldest
+(queue, depth) runs to Parquet and reload as the frontier drains — the
+spool layout already supports it. The Bloom seen filter at 1e9 keys
+per shard ≈ 1.2 GB (fpr 1e-3), so 64 shards cover 10^10 URLs.
 
 The plain class is fully testable without Ray; ``create_shards`` wraps
 it with ``ray.remote``.
@@ -29,18 +33,22 @@ it with ``ray.remote``.
 
 from __future__ import annotations
 
-import heapq
 import os
 from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..schemas import FRONTIER_SCHEMA, QUEUES
 from .seenfilter import make_seen_filter
 
-_COLS = FRONTIER_SCHEMA.names
+_SORT_KEYS = [
+    ("depth", "ascending"),
+    ("discovery_ts", "ascending"),
+    ("seq", "ascending"),
+]
 
 
 class FrontierShardState:
@@ -59,34 +67,37 @@ class FrontierShardState:
         self.snapshot_id = snapshot_id
         self.state_dir = state_dir
         self.seen = make_seen_filter(seen_kind, seen_capacity, seen_fpr)
-        self._heaps: dict[str, list] = {q: [] for q in QUEUES}
-        self._seq = 0
-        self._epoch = 0
+        self._pending: dict[str, list[pa.Table]] = {q: [] for q in QUEUES}
+        self._arrival = 0
         self._epoch_admitted: list[pa.Table] = []
         self.metrics = {"push": 0, "bounce": 0, "repush": 0, "take": 0}
 
     # -- ingest ------------------------------------------------------------
 
-    def _push_rows(self, table: pa.Table, mask: np.ndarray | None) -> int:
-        cols = [table.column(c).to_pylist() for c in _COLS]
-        pushed = 0
-        for i, row in enumerate(zip(*cols)):
-            if mask is not None and not mask[i]:
-                continue
-            queue = row[_COLS.index("queue")]
-            heap = self._heaps.get(queue)
-            if heap is None:
-                heap = self._heaps.setdefault(queue, [])
-            depth = row[_COLS.index("depth")]
-            ts = row[_COLS.index("discovery_ts")]
-            self._seq += 1
-            heapq.heappush(heap, (depth, ts, self._seq, row))
-            pushed += 1
-        return pushed
+    def _append(self, table: pa.Table) -> int:
+        """Stamp arrival sequence (FIFO tiebreak) and append to the
+        per-queue pending lists — all vectorized."""
+        n = table.num_rows
+        if n == 0:
+            return 0
+        seq = pa.array(
+            np.arange(self._arrival, self._arrival + n, dtype=np.int64)
+        )
+        self._arrival += n
+        stamped = table.append_column("seq", seq)
+        queues = stamped.column("queue")
+        uniq = pc.unique(queues).to_pylist()
+        if len(uniq) == 1:
+            self._pending.setdefault(uniq[0], []).append(stamped)
+        else:
+            for q in uniq:
+                sub = stamped.filter(pc.equal(queues, q))
+                self._pending.setdefault(q, []).append(sub)
+        return n
 
     def offer(self, table: pa.Table) -> int:
         """Dedup-admit candidate rows (insert-if-absent on url_hash);
-        admitted rows enter the pending heaps and the epoch spool.
+        admitted rows enter the pending set and the epoch spool.
         Returns the number admitted; the rest are 'bounced'
         (reference queueOutcome='Bounced',
         providers/queuing/redisRequestTracker.js:27)."""
@@ -98,14 +109,14 @@ class FrontierShardState:
         if admitted:
             atable = table.filter(pa.array(mask))
             self._epoch_admitted.append(atable)
-            self._push_rows(atable, None)
+            self._append(atable)
         return admitted
 
     def requeue(self, table: pa.Table) -> int:
         """Re-enqueue rows WITHOUT dedup (retries after failure, deferred
         rows): the reference's abandon→redelivery with attemptCount++
         (providers/queuing/amqpQueue.js:134-144)."""
-        n = self._push_rows(table, None)
+        n = self._append(table)
         self.metrics["repush"] += n
         return n
 
@@ -116,61 +127,74 @@ class FrontierShardState:
 
     # -- scheduling --------------------------------------------------------
 
+    def _queue_table(self, queue: str) -> pa.Table | None:
+        tables = self._pending.get(queue)
+        if not tables:
+            return None
+        if len(tables) > 1:
+            merged = pa.concat_tables(tables).combine_chunks()
+            self._pending[queue] = [merged]
+            return merged
+        return tables[0]
+
     def counts(self) -> dict[str, int]:
-        return {q: len(h) for q, h in self._heaps.items()}
+        return {
+            q: sum(t.num_rows for t in ts) for q, ts in self._pending.items()
+        }
 
     def min_not_before(self) -> int | None:
         """Smallest not_before among pending rows (drives idle clock
         advance, the reference's pollingDelay analogue)."""
-        nb_idx = _COLS.index("not_before")
-        best: int | None = None
-        for heap in self._heaps.values():
-            for item in heap:
-                nb = item[3][nb_idx]
-                if best is None or nb < best:
-                    best = nb
+        best = None
+        for tables in self._pending.values():
+            for t in tables:
+                if t.num_rows == 0:
+                    continue
+                m = pc.min(t.column("not_before")).as_py()
+                if m is not None and (best is None or m < best):
+                    best = m
         return best
 
     def take(self, quotas: dict[str, int], now_us: int) -> pa.Table:
         """Pop up to quotas[q] eligible rows (not_before <= now) per
         queue in priority order (depth, discovery_ts, seq); ineligible
-        rows are retained."""
-        nb_idx = _COLS.index("not_before")
-        taken: list[tuple] = []
+        rows are retained. Fully vectorized."""
+        out: list[pa.Table] = []
         for queue, quota in quotas.items():
             if quota <= 0:
                 continue
-            heap = self._heaps.get(queue)
-            if not heap:
+            tbl = self._queue_table(queue)
+            if tbl is None or tbl.num_rows == 0:
                 continue
-            stash = []
-            got = 0
-            while heap and got < quota:
-                item = heapq.heappop(heap)
-                if item[3][nb_idx] > now_us:
-                    stash.append(item)
-                    continue
-                taken.append(item[3])
-                got += 1
-            for item in stash:
-                heapq.heappush(heap, item)
-        self.metrics["take"] += len(taken)
-        if not taken:
+            elig_mask = pc.less_equal(tbl.column("not_before"), now_us)
+            n_elig = int(pc.sum(elig_mask).as_py() or 0)
+            if n_elig == 0:
+                continue
+            elig = tbl.filter(elig_mask)
+            inelig = tbl.filter(pc.invert(elig_mask))
+            order = pc.sort_indices(elig, sort_keys=_SORT_KEYS)
+            k = min(quota, n_elig)
+            taken = elig.take(order.slice(0, k))
+            rest = elig.take(order.slice(k))
+            keep = (
+                pa.concat_tables([rest, inelig])
+                if inelig.num_rows
+                else rest
+            )
+            self._pending[queue] = [keep] if keep.num_rows else []
+            out.append(taken)
+        if not out:
             return FRONTIER_SCHEMA.empty_table()
-        arrays = [
-            pa.array([row[i] for row in taken], FRONTIER_SCHEMA.types[i])
-            for i in range(len(_COLS))
-        ]
-        return pa.Table.from_arrays(arrays, schema=FRONTIER_SCHEMA)
+        result = pa.concat_tables(out).select(FRONTIER_SCHEMA.names)
+        self.metrics["take"] += result.num_rows
+        return result
 
     # -- epoch lifecycle / lineage ----------------------------------------
 
-    def set_epoch(self, epoch: int) -> None:
-        self._epoch = epoch
-
     def flush_epoch(self, epoch: int) -> dict[str, Any]:
         """Persist this epoch's admitted rows to the lineage spool and
-        return a lineage record."""
+        return a lineage record (+ piggybacked pending counts so the
+        engine skips a counts() round-trip per epoch)."""
         admitted = 0
         if self._epoch_admitted and self.state_dir:
             table = pa.concat_tables(self._epoch_admitted)
@@ -191,6 +215,7 @@ class FrontierShardState:
             "filter_snapshot_id": self.snapshot_id,
             "admitted": admitted,
             "metrics": dict(self.metrics),
+            "counts": self.counts(),
         }
 
     def seen_count(self) -> int:
@@ -200,7 +225,9 @@ class FrontierShardState:
         return self.seen.digest()
 
     def pending_total(self) -> int:
-        return sum(len(h) for h in self._heaps.values())
+        return sum(
+            t.num_rows for ts in self._pending.values() for t in ts
+        )
 
 
 def create_shards(

@@ -1,0 +1,85 @@
+"""Control-surface API tests (reference routes/* as library calls)."""
+
+import pyarrow.parquet as pq
+
+from raycrawl import api
+from raycrawl.corpus import default_seeds, make_pages_corpus
+from raycrawl.pipelines.crawl import CrawlConfig, CrawlEngine
+
+
+def _engine(tmp_path, **kw):
+    corpus = make_pages_corpus(num_hosts=4, pages_per_host=10, seed=42)
+    cfg = CrawlConfig(
+        state_dir=str(tmp_path / "state"), mode="local", num_shards=2,
+        epoch_budget=30, **kw,
+    )
+    return corpus, CrawlEngine(corpus, cfg)
+
+
+def test_queue_depths_and_status(tmp_path):
+    _, engine = _engine(tmp_path)
+    engine.seed(default_seeds(2))
+    depths = api.queue_depths(engine)
+    assert depths["normal"] == 2
+    st = api.status(engine)
+    assert st["seen"] == 2 and st["queues"]["normal"] == 2
+
+
+def test_peek_does_not_consume(tmp_path):
+    _, engine = _engine(tmp_path)
+    engine.seed(default_seeds(2))
+    peeked = api.peek(engine, "normal", 1)
+    assert peeked.num_rows == 1
+    assert api.queue_depths(engine)["normal"] == 2  # put back
+
+
+def test_pop_consumes_in_priority_order(tmp_path):
+    _, engine = _engine(tmp_path)
+    engine.seed(default_seeds(2))
+    popped = api.pop(engine, "normal", 1)
+    assert popped.num_rows == 1
+    assert popped.column("url").to_pylist() == ["http://host0.example.com/p/0"]
+    assert api.queue_depths(engine)["normal"] == 1
+
+
+def test_queue_requests_rationalizer(tmp_path):
+    _, engine = _engine(tmp_path)
+    n = api.queue_requests(engine, ["MyOrg", "myorg/repo1"], queue="soon")
+    assert n == 2
+    rows = api.pop(engine, "soon", 10)
+    got = dict(zip(rows.column("type").to_pylist(), rows.column("url").to_pylist()))
+    assert got["org"] == "https://api.github.com/orgs/myorg"
+    assert got["repo"] == "https://api.github.com/repos/myorg/repo1"
+
+
+def test_flush_queue(tmp_path):
+    _, engine = _engine(tmp_path)
+    engine.seed(default_seeds(2))
+    assert api.flush_queue(engine, "normal") == 2
+    assert api.queue_depths(engine)["normal"] == 0
+
+
+def test_doc_count_list_and_deadletters(tmp_path):
+    corpus, engine = _engine(tmp_path)
+    result = engine.run(seeds=default_seeds(2))
+    state = engine.cfg.state_dir
+    assert api.doc_count(state) == result.docs_written
+    assert api.doc_count(state, "urn:page:") == result.docs_written
+    assert api.doc_count(state, "urn:nothing") == 0
+    listed = api.doc_list(state, limit=5)
+    assert listed.num_rows == 5
+    assert api.deadletter_count(state) == result.deadlettered
+    # requeue deadletters -> pending again with attempt_count reset
+    n = api.requeue_deadletters(engine, state)
+    assert n == result.deadlettered
+    assert api.deadletter_count(state) == 0
+    assert sum(api.queue_depths(engine).values()) == n
+
+
+def test_latest_documents_upsert(tmp_path):
+    corpus, engine = _engine(tmp_path)
+    result = engine.run(seeds=default_seeds(2))
+    latest = api.latest_documents(engine.cfg.state_dir)
+    assert latest.num_rows == result.docs_written  # already unique per urn
+    urns = latest.column("urn").to_pylist()
+    assert len(set(urns)) == len(urns)

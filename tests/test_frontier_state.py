@@ -135,3 +135,25 @@ def test_robots_parse():
                          robots={"a.com": rules})
     assert p.allowance("a.com") == 1  # crawl-delay caps the rate
     assert p.allowance("b.com") == 10
+
+
+def test_shard_routing_consistency():
+    """Driver-side shard_of and the worker's vectorized _shard_split
+    MUST agree — a url_hash has exactly one owning shard."""
+    import hashlib
+
+    from raycrawl.functions.urlnorm import shard_of
+    from raycrawl.stages.fetch import CrawlWorkerStage
+
+    rows = _rows([f"http://h{i}.com/{i}" for i in range(200)])
+    digests = rows.column("url_hash").to_pylist()
+    for num_shards in (1, 3, 8):
+        split = {}
+        gen = CrawlWorkerStage._shard_split(
+            type("X", (), {"num_shards": num_shards})(), rows
+        )
+        for sid, sub in gen:
+            for d in sub.column("url_hash").to_pylist():
+                split[d] = sid
+        for d in digests:
+            assert split[d] == shard_of(d, num_shards)
