@@ -38,7 +38,7 @@ from __future__ import annotations
 import json
 import math
 import os
-from collections import defaultdict
+from collections import defaultdict, deque
 from dataclasses import dataclass, field
 from glob import glob
 
@@ -166,6 +166,8 @@ class CrawlEngine:
             defer_delay_sec=cfg.defer_delay_sec,
         )
         self._cached_counts = None  # per-epoch counts piggybacked on flush
+        self._route_refs: list = []     # pull mode: in-flight requeue RPCs
+        self._dead_tables: list[pa.Table] = []  # pull mode: deadletter buffer
         self._metrics_rows: list[dict] = []
         self._lineage_rows: list[dict] = []
         self._docs_written = 0
@@ -188,7 +190,7 @@ class CrawlEngine:
                 snapshot_id=cfg.snapshot_id,
             )
             self.workers = []
-            if cfg.ray_exec == "actors":
+            if cfg.ray_exec in ("actors", "pull"):
                 worker_cls = ray.remote(num_cpus=1)(CrawlWorkerStage)
                 self.workers = [
                     worker_cls.remote(
@@ -199,6 +201,10 @@ class CrawlEngine:
                         child_queue=cfg.child_queue,
                         attenuate=cfg.attenuate,
                         blocking_offers=False,
+                        flush_each_batch=(cfg.ray_exec == "pull"),
+                        max_attempts=cfg.max_attempts,
+                        retry_queue=cfg.retry_queue,
+                        dead_dir=self.dead_dir,
                     )
                     for _ in range(cfg.fetch_concurrency)
                 ]
@@ -222,6 +228,9 @@ class CrawlEngine:
                 docs_dir=self.docs_dir,
                 child_queue=cfg.child_queue,
                 attenuate=cfg.attenuate,
+                max_attempts=cfg.max_attempts,
+                retry_queue=cfg.retry_queue,
+                dead_dir=self.dead_dir,
             )
 
     # -- shard RPC helpers (transparent local/ray) -------------------------
@@ -268,7 +277,9 @@ class CrawlEngine:
 
     # -- scheduling --------------------------------------------------------
 
-    def _quotas(self, shard_counts: list[dict[str, int]]):
+    def _quotas(
+        self, shard_counts: list[dict[str, int]], budget: int | None = None
+    ):
         """Weighted split of the epoch budget across queue classes
         (reference QueueSet pop weights, lib/crawlerFactory.js:80),
         then proportional split across shards."""
@@ -276,7 +287,8 @@ class CrawlEngine:
         active = [q for q in QUEUES if totals[q] > 0]
         if not active:
             return None, 0
-        budget = self.cfg.epoch_budget
+        if budget is None:
+            budget = self.cfg.epoch_budget
         wsum = sum(QUEUE_WEIGHTS[q] for q in active)
         quota: dict[str, int] = {}
         for q in active:
@@ -307,38 +319,73 @@ class CrawlEngine:
     # -- epoch body --------------------------------------------------------
 
     def _process(self, epoch_table: pa.Table, epoch: int, now_us: int) -> pa.Table:
-        # Chunking: the chunk COUNT must be a multiple of the pool size
-        # or the epoch barrier waits on stragglers (25 chunks over 24
-        # workers = one worker does 2 while 23 idle — measured ~50%
-        # worker utilization). chunk = ceil(n / (pool * m)) with m
-        # chosen so chunks stay near batch_size.
+        # Chunk small enough that the pool load-balances (visit cost per
+        # chunk varies with page size / out-degree — static round-robin
+        # of batch_size chunks measured ~50% worker utilization at 32
+        # CPUs), large enough that per-chunk dispatch overhead stays
+        # negligible.
         n = epoch_table.num_rows
         pool = max(1, len(getattr(self, "workers", [])) or self.cfg.fetch_concurrency)
-        m = max(1, math.ceil(n / (pool * self.cfg.fetch_batch_size)))
-        nchunks = min(n, pool * m)
-        chunk = math.ceil(n / nchunks)
-        chunks = [
-            epoch_table.slice(off, chunk) for off in range(0, n, chunk)
-        ]
         if self.cfg.mode == "local":
+            chunk = self.cfg.fetch_batch_size
             self._local_worker.set_epoch(epoch, now_us)
-            return pa.concat_tables([self._local_worker(c) for c in chunks])
+            return pa.concat_tables(
+                self._local_worker(epoch_table.slice(off, chunk))
+                for off in range(0, n, chunk)
+            )
         import ray
 
         if self.workers:
-            # persistent actor pool (see CrawlWorkerStage.process):
-            # round-robin the equal-size chunks across the pool
-            self._used_workers = [
-                self.workers[i % len(self.workers)]
-                for i in range(min(len(chunks), len(self.workers)))
-            ]
-            refs = [
-                self.workers[i % len(self.workers)].process.remote(
-                    c, epoch, now_us
+            # Persistent actor pool (see CrawlWorkerStage.process) with
+            # dynamic dispatch: fixed chunk size of ~n/(pool*4) (guided
+            # decreasing chunks were measured WORSE — tiny tail chunks
+            # inflate per-chunk kernel overhead 50%), two chunks in
+            # flight per worker (double buffer), refill whichever
+            # worker finishes first; a worker whose last chunk
+            # completes starts draining its buffered frontier offers
+            # immediately, overlapping shard-side dedup with the rest
+            # of the pool's compute.
+            chunk_size = max(
+                256,
+                min(self.cfg.fetch_batch_size, math.ceil(n / (pool * 4))),
+            )
+            epoch_ref = ray.put(epoch_table.combine_chunks())
+            pos = 0
+            inflight: dict = {}  # result ObjectRef -> worker index
+            outstanding = [0] * len(self.workers)
+            results: list = []
+            drain_refs: list = []
+
+            def dispatch(widx: int) -> bool:
+                nonlocal pos
+                if pos >= n:
+                    return False
+                ref = self.workers[widx].process_range.remote(
+                    epoch_ref, pos, chunk_size, epoch, now_us
                 )
-                for i, c in enumerate(chunks)
-            ]
-            return pa.concat_tables(ray.get(refs))
+                pos += chunk_size
+                inflight[ref] = widx
+                outstanding[widx] += 1
+                return True
+
+            for widx in range(len(self.workers)):
+                for _ in range(3):
+                    dispatch(widx)
+            while inflight:
+                done, _ = ray.wait(
+                    list(inflight), num_returns=1, fetch_local=True
+                )
+                widx = inflight.pop(done[0])
+                outstanding[widx] -= 1
+                results.append(done[0])
+                if not dispatch(widx) and outstanding[widx] == 0:
+                    drain_refs.append(self.workers[widx].drain.remote())
+            self._drain_refs = drain_refs
+            return pa.concat_tables(ray.get(results))
+        chunk = self.cfg.fetch_batch_size
+        chunks = [
+            epoch_table.slice(off, chunk) for off in range(0, n, chunk)
+        ]
         import ray.data
 
         ds = ray.data.from_arrow(chunks)
@@ -353,6 +400,9 @@ class CrawlEngine:
                 epoch=epoch,
                 now_us=now_us,
                 attenuate=self.cfg.attenuate,
+                max_attempts=self.cfg.max_attempts,
+                retry_queue=self.cfg.retry_queue,
+                dead_dir=self.dead_dir,
             ),
             batch_format="pyarrow",
             batch_size=None,
@@ -403,9 +453,23 @@ class CrawlEngine:
             epoch_table = epoch_table.take(order)
         stats["taken"] = epoch_table.num_rows
 
-        # politeness gate: at most rate × window rows per host per epoch
-        hosts = np.asarray(epoch_table.column("url_host").to_pylist(), dtype=object)
-        admit = self.politeness.admit_mask(hosts)
+        # politeness gate: at most rate × window rows per host per epoch.
+        # Fast path: when no robots rule throttles a host and the global
+        # allowance exceeds the epoch size, no host CAN be deferred —
+        # skip the per-host ordinal computation entirely.
+        gate_unbounded = (
+            not self.politeness.robots
+            and self.politeness.host_rate_per_sec
+            * self.politeness.epoch_seconds
+            >= epoch_table.num_rows
+        )
+        if gate_unbounded:
+            admit = np.ones(epoch_table.num_rows, dtype=bool)
+        else:
+            hosts = np.asarray(
+                epoch_table.column("url_host").to_pylist(), dtype=object
+            )
+            admit = self.politeness.admit_mask(hosts)
         if not admit.all():
             deferred = epoch_table.filter(pa.array(~admit))
             nb = now_us + int(self.cfg.defer_delay_sec * 1e6)
@@ -426,22 +490,39 @@ class CrawlEngine:
         stats["docs"] = int(pc.sum(summaries.column("depth")).as_py() or 0)
         stats["offered"] = int(pc.sum(summaries.column("discovery_ts")).as_py() or 0)
         stats["admitted"] = int(pc.sum(summaries.column("attempt_count")).as_py() or 0)
-        if self.cfg.mode == "ray" and self.workers:
-            # non-blocking offers: drain() is the epoch barrier — every
-            # shard must have processed its offers before the next take
-            import ray
-
-            used = getattr(self, "_used_workers", None) or self.workers
-            stats["admitted"] = sum(
-                ray.get([w.drain.remote() for w in used])
-            )
 
         rest = result.filter(pc.not_equal(result.column("type"), SUMMARY_TYPE))
-        failed = rest.filter(pc.equal(rest.column("status"), 404))
-        stats["unchanged"] = rest.num_rows - failed.num_rows
-        if failed.num_rows:
-            stats["failed"] = failed.num_rows
-            self._handle_failures(failed, epoch, now_us, stats)
+        if self.cfg.max_attempts > 0:
+            # the retry ledger ran inside the stage (W3/S13): summaries
+            # carry failed (status) and deadlettered (not_before) counts;
+            # `rest` holds only 304-unchanged rows
+            stats["failed"] = int(
+                pc.sum(summaries.column("status")).as_py() or 0
+            )
+            stats["deadlettered"] = int(
+                pc.sum(summaries.column("not_before")).as_py() or 0
+            )
+            self._failed += stats["failed"]
+            self._dead += stats["deadlettered"]
+            stats["unchanged"] = rest.num_rows
+        else:
+            failed = rest.filter(pc.equal(rest.column("status"), 404))
+            stats["unchanged"] = rest.num_rows - failed.num_rows
+            if failed.num_rows:
+                stats["failed"] = failed.num_rows
+                self._handle_failures(failed, epoch, now_us, stats)
+
+        if self.cfg.mode == "ray" and self.workers:
+            # non-blocking offers: drain() is the epoch barrier — every
+            # shard must have processed its offers before the next take.
+            # _process already issued each worker's drain the moment its
+            # last chunk finished, so most of the wait is overlapped.
+            import ray
+
+            stats["admitted"] = sum(
+                ray.get(getattr(self, "_drain_refs", []))
+            )
+            self._drain_refs = []
         self._docs_written += stats["docs"]
         if _dbg:
             _t5 = _time.perf_counter()
@@ -467,10 +548,21 @@ class CrawlEngine:
         return [s.take(q, now_us) for s, q in zip(self.shards, per_shard)]
 
     def _handle_failures(
-        self, failed: pa.Table, epoch: int, now_us: int, stats: dict
+        self,
+        failed: pa.Table,
+        epoch: int,
+        now_us: int,
+        stats: dict,
+        *,
+        sync: bool = True,
     ) -> None:
         """Retry ledger: attempt_count+1 to the retry queue until
-        max_attempts, then deadletter (reference W3/S13)."""
+        max_attempts, then deadletter (reference W3/S13). With
+        sync=False (pull executor) the requeue RPCs are fire-and-forget
+        (refs collected in _route_refs, resolved at the next stall) and
+        deadletter rows are buffered for a single end-of-run write —
+        the per-cycle blocking route + parquet write was a measured
+        driver bottleneck."""
         self._failed += failed.num_rows
         attempts = pc.add(failed.column("attempt_count"), 1)
         failed = failed.set_column(
@@ -487,18 +579,29 @@ class CrawlEngine:
                 names.index("queue"),
                 "queue",
                 pa.array([self.cfg.retry_queue] * retriable.num_rows, pa.string()),
-            )
-            self._route(
-                retriable.select(names), "requeue"
-            )
+            ).select(names)
+            if sync:
+                self._route(retriable, "requeue")
+            else:
+                splitter = CrawlWorkerStage._shard_split
+                holder = type("S", (), {"num_shards": self.cfg.num_shards})()
+                for sid, sub in splitter(holder, retriable):
+                    self._route_refs.append(
+                        self.shards[sid].requeue.remote(sub)
+                    )
         if exhausted.num_rows:
             dead = exhausted.select(
                 FRONTIER_SCHEMA.names + ["error"]
             ).append_column(
                 "failed_at", pa.array([now_us] * exhausted.num_rows, pa.int64())
-            )
-            path = os.path.join(self.dead_dir, f"epoch={epoch}.parquet")
-            pq.write_table(dead.cast(DEADLETTER_SCHEMA), path)
+            ).cast(DEADLETTER_SCHEMA)
+            if sync:
+                path = os.path.join(
+                    self.dead_dir, f"epoch={epoch}-{self._dead}.parquet"
+                )
+                pq.write_table(dead, path)
+            else:
+                self._dead_tables.append(dead)
             self._dead += exhausted.num_rows
             stats["deadlettered"] = exhausted.num_rows
 
@@ -512,6 +615,14 @@ class CrawlEngine:
         max_urls: int | None = None,
     ) -> CrawlResult:
         cfg = self.cfg
+        if cfg.mode == "ray" and cfg.ray_exec == "pull" and start_epoch == 0:
+            if cfg.host_rate_per_sec * cfg.epoch_seconds < cfg.fetch_batch_size * 2 * cfg.fetch_concurrency or self.politeness.robots:
+                raise ValueError(
+                    "pull executor requires an unbounded politeness gate "
+                    "(its windows are approximate); use ray_exec='actors' "
+                    "for rate-limited crawls"
+                )
+            return self._run_pull(seeds, max_urls)
         if seeds:
             self.seed(seeds)
         epoch = start_epoch
@@ -556,6 +667,330 @@ class CrawlEngine:
             seen_digest=overall,
             metrics=metrics,
         )
+
+    # -- continuous (pull) executor ---------------------------------------
+
+    def _run_pull(
+        self, seeds: list[dict] | None, max_urls: int | None
+    ) -> CrawlResult:
+        """Continuous scheduler: no epoch barrier. The driver keeps
+        every worker ~2 chunks deep; takes, dispatches, offers
+        (flushed per batch by the workers), retries and lineage
+        flushes all overlap. The epoch-mode barrier (take → process →
+        drain → flush) was measured at ~40-60% worker utilization at
+        32 CPUs — the barrier tail plus per-epoch serial phases are
+        Amdahl's-law poison for the N→4N scaling criterion.
+
+        Priority is approximate global (each shard's take is exact
+        (depth, discovery_ts) order; waves interleave shards), which is
+        the documented production ordering (SURVEY §2.9 W7) — exact
+        traversal parity stays with the single-threaded local mode.
+        The politeness gate must be unbounded here (no robots throttle,
+        allowance ≥ wave size); configs that actually rate-limit run in
+        epoch mode where the window semantics are exact."""
+        import ray
+        import time as _time
+
+        _dbg = os.environ.get("RAYCRAWL_TIMING")
+        _tm = {"seed": 0.0, "refill": 0.0, "dispatch": 0.0, "wait": 0.0,
+               "absorb": 0.0, "fail": 0.0, "stall": 0.0, "final": 0.0,
+               "cycles": 0}
+        _t = _time.perf_counter()
+        cfg = self.cfg
+        if seeds:
+            self.seed(seeds)
+        _tm["seed"] = _time.perf_counter() - _t
+        epoch_us = int(cfg.epoch_seconds * 1e6)
+        cycle = 0
+        clock_us = cfg.base_ts_us
+        chunk = cfg.fetch_batch_size
+        pool = self.workers
+        idle = deque(range(len(pool)))
+        inflight: dict = {}
+        work_q: deque = deque()  # (take_ref, offset, size)
+        failed_tables: list[pa.Table] = []
+        flush_refs: list = []
+        last_flushed_cycle = -1
+        processed = 0
+        docs = offered = admitted_known = 0
+
+        last_counts: list[dict[str, int]] | None = None
+
+        def handle_failures_now(stats: dict) -> None:
+            if not failed_tables:
+                return
+            failed = pa.concat_tables(failed_tables)
+            failed_tables.clear()
+            stats["failed"] = failed.num_rows
+            self._handle_failures(failed, cycle, clock_us, stats, sync=False)
+
+        def lineage_flush(sync: bool) -> None:
+            nonlocal last_flushed_cycle
+            refs = [s.flush_epoch.remote(cycle) for s in self.shards]
+            last_flushed_cycle = cycle
+            if sync:
+                self._ingest_lineage(ray.get(refs), cycle)
+            else:
+                flush_refs.append((cycle, refs))
+
+        pending_take: list | None = None  # in-flight take_with_counts refs
+        starved = False  # last refill saw an empty frontier; wait for offers
+
+        def start_refill() -> None:
+            """Issue one take wave (fire-and-forget). The take RPC round
+            trip is ~tens of ms — resolving it synchronously per refill
+            was a measured driver bottleneck, so the refs resolve later
+            (finish_refill) while workers keep crunching."""
+            nonlocal cycle, clock_us, pending_take, last_counts, starved
+            if last_counts is None:
+                # async counts-only poll (empty quotas): a synchronous
+                # counts round per starvation stutter was measurable
+                pending_take = [
+                    s.take_with_counts.remote({}, clock_us)
+                    for s in self.shards
+                ]
+                cycle += 1
+                clock_us += epoch_us
+                return
+            pending = sum(sum(c.values()) for c in last_counts)
+            queued = sum(item[2] for item in work_q)
+            want = chunk * 3 * len(pool) - queued - len(inflight) * chunk
+            if pending and want > 0:
+                per_shard, _ = self._quotas(last_counts, budget=want)
+                if per_shard is None:
+                    per_shard = [{} for _ in self.shards]
+                pending_take = [
+                    s.take_with_counts.remote(q, clock_us)
+                    for s, q in zip(self.shards, per_shard)
+                ]
+            else:
+                last_counts = None  # force a fresh poll next round
+                starved = True
+            cycle += 1
+            clock_us += epoch_us
+
+        def finish_refill() -> int:
+            """Resolve the in-flight take wave: enqueue (take_ref,
+            offset, size) dispatch chunks — the row data stays in
+            plasma; the driver never touches it."""
+            nonlocal pending_take, last_counts, processed, starved
+            refs = pending_take
+            pending_take = None
+            outs = ray.get(refs)
+            last_counts = [o["counts"] for o in outs]
+            wave = sum(o["table"].num_rows for o in outs)
+            # adaptive slicing: a small wave (BFS ramp, crawl tail) is
+            # split so every idle worker gets a piece — a fixed
+            # batch_size slice left 19 of 24 workers idle on the 20k-seed
+            # first wave
+            eff_chunk = max(
+                192, min(chunk, math.ceil(wave / max(1, len(idle))))
+            )
+            took = 0
+            for ref, o in zip(refs, outs):
+                n = o["table"].num_rows
+                took += n
+                for off in range(0, n, eff_chunk):
+                    work_q.append((ref, off, min(eff_chunk, n - off)))
+            processed += took
+            if took == 0:
+                starved = True
+            return took
+
+        def refill_sync() -> int:
+            start_refill()
+            return finish_refill() if pending_take is not None else 0
+
+        def absorb(results: list[pa.Table]) -> None:
+            nonlocal docs, offered, starved
+            starved = False  # completions flushed fresh offers to shards
+            result = (
+                results[0] if len(results) == 1 else pa.concat_tables(results)
+            )
+            summaries = result.filter(
+                pc.equal(result.column("type"), SUMMARY_TYPE)
+            )
+            docs += int(pc.sum(summaries.column("depth")).as_py() or 0)
+            offered += int(
+                pc.sum(summaries.column("discovery_ts")).as_py() or 0
+            )
+            if self.cfg.max_attempts > 0:
+                # retry ledger ran inside the stage; summaries carry the
+                # failed / deadlettered counters
+                self._failed += int(
+                    pc.sum(summaries.column("status")).as_py() or 0
+                )
+                self._dead += int(
+                    pc.sum(summaries.column("not_before")).as_py() or 0
+                )
+                return
+            rest = result.filter(
+                pc.not_equal(result.column("type"), SUMMARY_TYPE)
+            )
+            failed = rest.filter(pc.equal(rest.column("status"), 404))
+            if failed.num_rows:
+                failed_tables.append(failed)
+
+        while True:
+            # refill only when the queue is genuinely low — counts/take
+            # RPC rounds per completion were measured to starve the pool
+            taking = max_urls is None or processed < max_urls
+            if (
+                pending_take is None
+                and taking
+                and not starved
+                and len(work_q) < len(pool)
+            ):
+                _t = _time.perf_counter()
+                if failed_tables and (
+                    sum(t.num_rows for t in failed_tables) >= chunk * 4
+                ):
+                    stats = {"deadlettered": 0, "failed": 0}
+                    handle_failures_now(stats)
+                _t2 = _time.perf_counter()
+                _tm["fail"] += _t2 - _t
+                start_refill()
+                _tm["refill"] += _time.perf_counter() - _t2
+                _tm["cycles"] += 1
+                if cycle - last_flushed_cycle >= 16:
+                    lineage_flush(sync=False)
+            if pending_take is not None:
+                _t = _time.perf_counter()
+                if not work_q:
+                    finish_refill()  # queue dry: block on the take wave
+                else:
+                    ready, _ = ray.wait(
+                        pending_take,
+                        num_returns=len(pending_take),
+                        timeout=0,
+                    )
+                    if len(ready) == len(pending_take):
+                        finish_refill()
+                _tm["refill"] += _time.perf_counter() - _t
+            _t = _time.perf_counter()
+            while idle and work_q:
+                widx = idle.popleft()
+                take_ref, off, size = work_q.popleft()
+                ref = pool[widx].process_range.remote(
+                    take_ref, off, size, cycle, clock_us
+                )
+                inflight[ref] = widx
+            _tm["dispatch"] += _time.perf_counter() - _t
+            if inflight:
+                # block for one completion, then sweep up everything
+                # else already finished — one driver pass per sweep
+                _t = _time.perf_counter()
+                done, _ = ray.wait(
+                    list(inflight), num_returns=1, fetch_local=True
+                )
+                extra, _ = ray.wait(
+                    [r for r in inflight if r != done[0]],
+                    num_returns=len(inflight) - 1,
+                    timeout=0,
+                    fetch_local=True,
+                )
+                done += extra
+                for r in done:
+                    idle.append(inflight.pop(r))
+                _t2 = _time.perf_counter()
+                _tm["wait"] += _t2 - _t
+                absorb(ray.get(done))
+                _tm["absorb"] += _time.perf_counter() - _t2
+                continue
+            # pipeline empty: drain worker offer buffers, then re-check
+            _t = _time.perf_counter()
+            while flush_refs:
+                c, refs = flush_refs.pop(0)
+                self._ingest_lineage(ray.get(refs), c)
+            stats = {"deadlettered": 0, "failed": 0}
+            handle_failures_now(stats)
+            if self._route_refs:
+                ray.get(self._route_refs)
+                self._route_refs.clear()
+            admitted_known += sum(ray.get([w.drain.remote() for w in pool]))
+            last_counts = self._call("counts")
+            pending = sum(sum(c.values()) for c in last_counts)
+            _tm["stall"] += _time.perf_counter() - _t
+            if pending == 0 or (max_urls is not None and processed >= max_urls):
+                break
+            starved = False
+            if refill_sync() == 0:
+                # all remaining rows deferred: advance the clock
+                nbs = [
+                    x
+                    for x in self._call("min_not_before")
+                    if x is not None
+                ]
+                if not nbs:
+                    break
+                clock_us = max(clock_us + epoch_us, min(nbs))
+                starved = False
+
+        _t = _time.perf_counter()
+        stats = {"deadlettered": 0, "failed": 0}
+        handle_failures_now(stats)
+        if self._route_refs:
+            ray.get(self._route_refs)
+            self._route_refs.clear()
+        admitted_known += sum(ray.get([w.drain.remote() for w in pool]))
+        lineage_flush(sync=False)
+        for c, refs in flush_refs:
+            self._ingest_lineage(ray.get(refs), c)
+        if self._dead_tables:
+            pq.write_table(
+                pa.concat_tables(self._dead_tables),
+                os.path.join(self.dead_dir, "pull-deadletters.parquet"),
+            )
+            self._dead_tables = []
+        self._docs_written = docs
+        for name, value in (
+            ("fetch", processed),
+            ("done", docs),
+            ("offered", offered),
+            ("push", admitted_known),
+            ("abandon", self._failed),
+            ("deadletter", self._dead),
+        ):
+            self._metrics_rows.append(
+                {"epoch": cycle, "name": name, "value": value}
+            )
+        metrics = self._metrics_table()
+        self._write_tables(metrics)
+        seen_counts = self._call("seen_count")
+        digests = self._call("seen_digest")
+        import hashlib
+
+        overall = hashlib.sha1("".join(digests).encode()).hexdigest()
+        self._write_manifest(cycle, completed=True)
+        if _dbg:
+            _tm["final"] = _time.perf_counter() - _t
+            print(
+                "[pull] "
+                + " ".join(f"{k}={v:.2f}" for k, v in _tm.items()),
+                flush=True,
+            )
+        return CrawlResult(
+            state_dir=cfg.state_dir,
+            epochs=cycle,
+            docs_written=docs,
+            failed=self._failed,
+            deadlettered=self._dead,
+            seen_count=sum(seen_counts),
+            seen_digest=overall,
+            metrics=metrics,
+        )
+
+    def _ingest_lineage(self, lineage: list[dict], epoch: int) -> None:
+        for rec in lineage:
+            self._lineage_rows.append(
+                {
+                    "frontier_epoch": epoch,
+                    "shard_id": rec["shard_id"],
+                    "filter_snapshot_id": rec["filter_snapshot_id"],
+                    "admitted": rec["admitted"],
+                    "op_ts": 0,
+                }
+            )
 
     # -- bookkeeping -------------------------------------------------------
 

@@ -465,6 +465,71 @@ def knn_lsh(sf_dir: str):
     )
 
 
+_NEAR_DUP_BP = 3500  # cosine >= 0.35 in basis points
+
+
+@query(
+    "embedding_near_dup",
+    f"""
+    SELECT id_a, id_b, sim_bp FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(FLOOR(list_cosine_similarity(
+               CAST(a.embedding AS DOUBLE[]),
+               CAST(b.embedding AS DOUBLE[])) * 10000 + 0.5) AS BIGINT)
+               AS sim_bp
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ) WHERE sim_bp >= {_NEAR_DUP_BP}
+    """,
+)
+def embedding_near_dup(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (dedup family): every pair
+    with cosine >= tau, brute-force baseline. The full L2-normalized
+    matrix is broadcast ONCE (``ray.put``) and each batch does one
+    float64 matmul against it — O(n*b) per batch, no shuffle. At
+    10^10-doc scale the broadcast side no longer fits: block by LSH
+    band first (knn_lsh pattern) so only same-bucket pairs are scored.
+    Similarity is reported in rounded basis points so the Ray and
+    DuckDB float paths agree exactly."""
+    import ray
+
+    head = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    all_ids = head.column("vec_id").to_numpy()
+    all_vecs = as_matrix(head.column("embedding"))
+    all_vecs = all_vecs / np.linalg.norm(all_vecs, axis=1, keepdims=True)
+    mat_ref = ray.put((all_ids, all_vecs))
+
+    class Pairs:
+        def __init__(self):
+            self.ids, self.vecs = ray.get(mat_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("vec_id").to_numpy()
+            vecs = as_matrix(t.column("embedding"))
+            vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+            sims = vecs @ self.vecs.T
+            bp = np.floor(sims * 10000.0 + 0.5)
+            # id_a < id_b keeps each unordered pair exactly once
+            keep = (bp >= _NEAR_DUP_BP) & (
+                ids[:, None] < self.ids[None, :]
+            )
+            ai, bj = np.nonzero(keep)
+            return pa.table(
+                {
+                    "id_a": pa.array(ids[ai], pa.int64()),
+                    "id_b": pa.array(self.ids[bj], pa.int64()),
+                    "sim_bp": pa.array(
+                        bp[ai, bj].astype(np.int64), pa.int64()
+                    ),
+                }
+            )
+
+    return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        Pairs, batch_format="pyarrow", concurrency=2
+    )
+
+
 @query(
     "label_counts",
     "SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label",

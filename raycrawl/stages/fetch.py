@@ -38,6 +38,7 @@ from collections import defaultdict
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..functions.urlnorm import canonicalize_batch, shard_of
@@ -138,6 +139,10 @@ class CrawlWorkerStage:
         now_us: int = 0,
         attenuate: bool = True,
         blocking_offers: bool = True,
+        flush_each_batch: bool = False,
+        max_attempts: int = 0,
+        retry_queue: str = "immediate",
+        dead_dir: str | None = None,
     ) -> None:
         try:
             import ray
@@ -157,8 +162,21 @@ class CrawlWorkerStage:
         self.now_us = now_us
         self.attenuate = attenuate
         self.blocking_offers = blocking_offers
+        # pull-mode executors flush offers at the end of every batch
+        # (fire-and-forget) so shards admit rows continuously and the
+        # driver's next take sees them without a drain barrier
+        self.flush_each_batch = flush_each_batch
+        # inline retry ledger (max_attempts > 0): failures are requeued /
+        # deadlettered INSIDE the stage — at 32 CPUs the driver-side
+        # failure round trip (~300k returned rows over a crawl) was a
+        # measured scaling bottleneck, and at 10^10-URL scale failed
+        # rows must never funnel through one process anyway
+        self.max_attempts = max_attempts
+        self.retry_queue = retry_queue
+        self.dead_dir = dead_dir
         self._local = not hasattr(shards[0].offer, "remote")
         self._pending_offers: list = []
+        self._pending_misc: list = []  # requeue RPCs (not admit-counted)
         self._offer_buf: dict[int, list[pa.Table]] = {}
         self._buf_rows: dict[int, int] = {}
         self._canon_cache: dict[str, tuple[str, bytes, str]] = {}
@@ -178,6 +196,20 @@ class CrawlWorkerStage:
         wall-clock. Identical kernel to the map_batches path."""
         self.set_epoch(epoch, now_us)
         return self(batch)
+
+    def process_range(
+        self, table: pa.Table, off: int, size: int, epoch: int, now_us: int
+    ) -> pa.Table:
+        """Like process(), but the epoch table is shipped ONCE via
+        ray.put and every dispatch passes (ref, offset, size) — the
+        driver-side per-chunk serialization of table slices was a
+        measured scaling bottleneck; plasma reads here are zero-copy.
+        Accepts either a bare table ref or a shard take_with_counts
+        response dict."""
+        if isinstance(table, dict):
+            table = table["table"]
+        self.set_epoch(epoch, now_us)
+        return self(table.slice(off, size))
 
     # -- candidate routing -------------------------------------------------
 
@@ -256,16 +288,68 @@ class CrawlWorkerStage:
 
     def drain(self) -> int:
         """Barrier: flush buffered offers, wait for every in-flight
-        offer of this worker, return the summed admitted count."""
+        offer/requeue of this worker, return the summed admitted count
+        (requeues are at-least-once re-inserts, not admits)."""
         for sid in list(self._offer_buf):
             self._flush_shard(sid)
-        if not self._pending_offers:
+        if not self._pending_offers and not self._pending_misc:
             return 0
         import ray
 
         total = sum(ray.get(self._pending_offers))
+        if self._pending_misc:
+            ray.get(self._pending_misc)
+            self._pending_misc = []
         self._pending_offers = []
         return total
+
+    def _handle_failures_inline(self, failed: pa.Table) -> tuple[int, int]:
+        """The retry ledger (reference W3/S13), stage-side: returns
+        (retried, deadlettered)."""
+        attempts = pc.add(failed.column("attempt_count"), 1)
+        failed = failed.set_column(
+            FRONTIER_SCHEMA.names.index("attempt_count"),
+            "attempt_count",
+            attempts.cast(pa.int32()),
+        )
+        retriable_mask = pc.less(attempts, self.max_attempts)
+        retriable = failed.filter(retriable_mask)
+        exhausted = failed.filter(pc.invert(retriable_mask))
+        if retriable.num_rows:
+            names = FRONTIER_SCHEMA.names
+            retriable = retriable.set_column(
+                names.index("queue"),
+                "queue",
+                pa.array(
+                    [self.retry_queue] * retriable.num_rows, pa.string()
+                ),
+            ).select(names)
+            for sid, sub in self._shard_split(retriable):
+                if self._local:
+                    self.shards[sid].requeue(sub)
+                else:
+                    self._pending_misc.append(
+                        self.shards[sid].requeue.remote(sub)
+                    )
+        if exhausted.num_rows and self.dead_dir is not None:
+            dead = exhausted.select(FRONTIER_SCHEMA.names).append_column(
+                "error",
+                pa.array(["not found"] * exhausted.num_rows, pa.string()),
+            ).append_column(
+                "failed_at",
+                pa.array([self.now_us] * exhausted.num_rows, pa.int64()),
+            )
+            part = hashlib.sha1(
+                exhausted.column("url_hash")[0].as_py()
+                + exhausted.num_rows.to_bytes(4, "big")
+                + self.epoch.to_bytes(4, "big")
+            ).hexdigest()[:16]
+            tmp = os.path.join(self.dead_dir, f".dead-{part}.tmp")
+            pq.write_table(dead, tmp)
+            os.replace(
+                tmp, os.path.join(self.dead_dir, f"dead-{part}.parquet")
+            )
+        return retriable.num_rows, exhausted.num_rows
 
     def _build_candidates(
         self, children: list[tuple], depths: list[int]
@@ -403,7 +487,17 @@ class CrawlWorkerStage:
             self._write_docs(doc_rows)
         _t4 = _t.perf_counter()
 
-        keep_mask = statuses != 200
+        retried = dead = 0
+        if self.max_attempts > 0:
+            # inline retry ledger: only 304s return to the driver
+            failed_mask = statuses == 404
+            if failed_mask.any():
+                retried, dead = self._handle_failures_inline(
+                    batch.filter(pa.array(failed_mask))
+                )
+            keep_mask = statuses == 304
+        else:
+            keep_mask = statuses != 200
         kept_status = statuses[keep_mask]
         out = (
             batch.filter(pa.array(keep_mask))
@@ -417,7 +511,9 @@ class CrawlWorkerStage:
             )
         )
         # one summary row per batch: depth←n_docs, discovery_ts←offered,
-        # attempt_count←admitted (decoded by the engine)
+        # attempt_count←admitted, status←failed, not_before←deadlettered
+        # (decoded by the engine)
+        n_failed = int((statuses == 404).sum())
         summary = pa.Table.from_arrays(
             [
                 pa.array([""], pa.string()),
@@ -429,15 +525,23 @@ class CrawlWorkerStage:
                 pa.array([n_docs], pa.int32()),
                 pa.array([offered], pa.int64()),
                 pa.array([admitted], pa.int32()),
-                pa.array([0], pa.int64()),
+                pa.array([dead], pa.int64()),
                 pa.array([""], pa.string()),
                 pa.array([""], pa.string()),
                 pa.array([""], pa.string()),
-                pa.array([0], pa.int32()),
+                pa.array([n_failed], pa.int32()),
                 pa.array([""], pa.string()),
             ],
             schema=RESULT_SCHEMA,
         )
+        if self.flush_each_batch and not self.blocking_offers:
+            # flush only shards with a meaningful backlog — flushing all
+            # shards every batch was measured at ~100 ms/batch of RPC
+            # serialization; small residues land at the next threshold
+            # crossing or at drain()
+            for sid, nbuf in list(self._buf_rows.items()):
+                if nbuf >= 512:
+                    self._flush_shard(sid)
         _t5 = _t.perf_counter()
         self.timings["lookup"] += _t1 - _t0
         self.timings["visit"] += _t2 - _t1

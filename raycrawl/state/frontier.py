@@ -189,6 +189,18 @@ class FrontierShardState:
         self.metrics["take"] += result.num_rows
         return result
 
+    def take_with_counts(
+        self, quotas: dict[str, int], now_us: int
+    ) -> dict[str, Any]:
+        """take() plus post-take pending counts in ONE round trip — the
+        pull executor's refill path; a separate counts() RPC round per
+        refill was a measured driver bottleneck."""
+        return {
+            "table": self.take(quotas, now_us) if quotas else
+            FRONTIER_SCHEMA.empty_table(),
+            "counts": self.counts(),
+        }
+
     # -- epoch lifecycle / lineage ----------------------------------------
 
     def flush_epoch(self, epoch: int) -> dict[str, Any]:
