@@ -210,13 +210,17 @@ def corpus_from_documents(
 
 
 def seeds_for_corpus(corpus: pa.Table, num_seeds: int = 4) -> list[dict]:
-    """Seed list = the first pages of the corpus (deterministic)."""
-    urls = corpus.column("url").to_pylist()
-    step = max(1, len(urls) // num_seeds)
+    """Seed list = every (n/num_seeds)-th page of the corpus
+    (deterministic). Materializes ONLY the sampled rows — to_pylist of
+    the full url column cost seconds at millions of pages."""
+    n = corpus.num_rows
+    step = max(1, n // num_seeds)
+    idx = list(range(0, min(n, num_seeds * step), step))[:num_seeds]
+    urls = corpus.column("url").take(pa.array(idx, pa.int64())).to_pylist()
     return [
-        {"url": urls[i], "type": "page", "policy": "default", "queue": "normal"}
-        for i in range(0, min(len(urls), num_seeds * step), step)
-    ][:num_seeds]
+        {"url": u, "type": "page", "policy": "default", "queue": "normal"}
+        for u in urls
+    ]
 
 
 # ---------------------------------------------------------------------------

@@ -120,21 +120,58 @@ def url_host(url: str) -> str:
         return ""
 
 
+import re
+
+# Fast path: URLs this regex accepts (plus the dot-segment check below)
+# are exact FIXED POINTS of rfc3986_normalize — lowercase scheme+host,
+# no port/userinfo/fragment/percent-escape, non-empty path, no bare
+# trailing '?'. Property-tested against the slow path in
+# tests/test_urlnorm.py. Full normalization costs ~10 µs/url in Python;
+# at 8 links/page this dominated the visit kernel once the per-worker
+# memo stopped helping (hit rate falls as 1/pool_size — an anti-scaling
+# term measured at 24 workers).
+_FAST_RE = re.compile(
+    r"^(https?)://"
+    r"([a-z0-9](?:[a-z0-9-]*[a-z0-9])?"
+    r"(?:\.[a-z0-9](?:[a-z0-9-]*[a-z0-9])?)*)"
+    r"(/[^?#%\s]*)"
+    r"(\?[^#%\s]+)?$"
+)
+
+
+def _fast_canonical_host(u: str) -> str | None:
+    """Return the host if `u` is already canonical, else None."""
+    m = _FAST_RE.match(u)
+    if m is None:
+        return None
+    path = m.group(3)
+    if "/../" in path or "/./" in path or path.endswith(("/..", "/.")):
+        return None
+    return m.group(2)
+
+
 def canonicalize_batch(urls) -> tuple[list[str], list[bytes], list[str]]:
-    """Vectorized-ish canonicalization for a batch of URL strings.
+    """Canonicalization for a batch of URL strings.
 
     Returns (normalized, sha1_digests, hosts). Uses a per-batch memo so
-    duplicate links (common in web pages) are normalized once.
+    duplicate links (common in web pages) are normalized once; already-
+    canonical URLs take the regex fast path.
     """
     memo: dict[str, tuple[str, bytes, str]] = {}
     norm_out: list[str] = []
     hash_out: list[bytes] = []
     host_out: list[str] = []
+    sha1 = hashlib.sha1
     for u in urls:
         hit = memo.get(u)
         if hit is None:
-            n = rfc3986_normalize(u)
-            hit = (n, hashlib.sha1(n.encode("utf-8")).digest(), url_host(n))
+            host = _fast_canonical_host(u)
+            if host is not None:
+                n = u
+            else:
+                n = rfc3986_normalize(u)
+                host = url_host(n)
+            hit = (n, sha1(n.encode("utf-8")).digest(), host)
             memo[u] = hit
         norm_out.append(hit[0])
         hash_out.append(hit[1])

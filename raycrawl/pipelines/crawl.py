@@ -57,7 +57,12 @@ from ..schemas import (
     QUEUE_WEIGHTS,
     QUEUES,
 )
-from ..stages.fetch import SUMMARY_TYPE, CrawlWorkerStage, build_fetch_index
+from ..stages.fetch import (
+    SUMMARY_TYPE,
+    CrawlWorkerStage,
+    build_fetch_index,
+    prepare_corpus,
+)
 from ..state.frontier import FrontierShardState, create_shards
 from ..state.politeness import PolitenessPolicy
 
@@ -153,6 +158,7 @@ def build_frontier_rows(
 class CrawlEngine:
     def __init__(self, corpus: pa.Table, cfg: CrawlConfig) -> None:
         self.cfg = cfg
+        corpus = prepare_corpus(corpus)  # large_binary html, one chunk
         self.corpus = corpus
         os.makedirs(cfg.state_dir, exist_ok=True)
         self.docs_dir = os.path.join(cfg.state_dir, "documents")
@@ -177,9 +183,9 @@ class CrawlEngine:
         if cfg.mode == "ray":
             import ray
 
-            # combine chunks ONCE so per-actor TableFetcher wrapping is
-            # zero-copy instead of a per-actor concatenation
-            self.corpus_ref = ray.put(corpus.combine_chunks())
+            # prepared ONCE above so per-actor TableFetcher wrapping is
+            # zero-copy instead of a per-actor concatenation/cast
+            self.corpus_ref = ray.put(corpus)
             self.index_ref = ray.put(index)
             self.shards = create_shards(
                 cfg.num_shards,

@@ -77,12 +77,32 @@ def _digests_to_h64_tail(digests: list[bytes]):
     return h64, raw[:, 8:]
 
 
+def prepare_corpus(corpus: pa.Table) -> pa.Table:
+    """Normalize the corpus for zero-copy broadcast: ``html`` as
+    large_binary (int32 binary offsets cap a chunk at 2 GB — beyond
+    that combine_chunks silently keeps multiple chunks and positional
+    indexing against chunk(0) is wrong) and everything in ONE chunk.
+    Run once on the driver BEFORE ray.put, never per actor."""
+    i = corpus.schema.get_field_index("html")
+    if i >= 0 and corpus.column("html").type == pa.binary():
+        corpus = corpus.set_column(
+            i, "html", corpus.column("html").cast(pa.large_binary())
+        )
+    return corpus.combine_chunks()
+
+
 class TableFetcher:
     """Corpus-backed simulated network: url_hash → page row."""
 
     def __init__(self, corpus: pa.Table, index: dict[str, np.ndarray]) -> None:
         self._corpus = corpus.combine_chunks()
-        self._html = self._corpus.column("html").chunk(0)
+        html = self._corpus.column("html")
+        if html.num_chunks != 1:
+            raise ValueError(
+                "corpus html column is multi-chunk (>2 GB of binary in "
+                "int32-offset chunks?) — run prepare_corpus() first"
+            )
+        self._html = html.chunk(0)
         self._lang = self._corpus.column("lang").chunk(0)
         self._ts = self._corpus.column("warc_ts").chunk(0)
         self._h64 = index["h64"]
@@ -356,22 +376,11 @@ class CrawlWorkerStage:
     ) -> pa.Table:
         """children: (type, url, parent_urn, relation, parent_row)."""
         urls = [c[1] for c in children]
-        # worker-lifetime memo: zipf-hot link targets recur across
-        # batches, so canonicalization+SHA-1 amortizes to a dict hit
-        cache = self._canon_cache
-        norm, digests, hosts = [], [], []
-        misses = [u for u in set(urls) if u not in cache]
-        if misses:
-            m_norm, m_dig, m_host = canonicalize_batch(misses)
-            for u, a, b, c in zip(misses, m_norm, m_dig, m_host):
-                cache[u] = (a, b, c)
-            if len(cache) > 2_000_000:  # bound worker memory
-                cache.clear()
-        for u in urls:
-            a, b, c = cache[u]
-            norm.append(a)
-            digests.append(b)
-            hosts.append(c)
+        # canonicalize_batch dedups within the batch; a worker-lifetime
+        # memo was tried and REGRESSED at scale (24 workers x millions
+        # of dict entries = GC pressure + hit rate falling as 1/pool) —
+        # the regex fast path makes recomputation cheaper than caching
+        norm, digests, hosts = canonicalize_batch(urls)
         if self.attenuate:  # in-batch pre-dedup (attenuation window, D1)
             seen: set[bytes] = set()
             keep = [

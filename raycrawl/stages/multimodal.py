@@ -88,6 +88,50 @@ class ImageDecodeStage:
         )
 
 
+class ImageResizeStage:
+    """Actor-pool stage: resize decoded (h, w, 3) uint8 tensors with
+    vectorized nearest-neighbor sampling. Operates on the output layout
+    of ImageDecodeStage (tensors re-decoded from payload via the same
+    deterministic fake when codecs are absent); a real deployment would
+    fuse decode+resize in one actor to avoid re-materializing tensors.
+    Small ``batch_size`` required for wide binary payloads."""
+
+    def __init__(self, *, fake: bool = False,
+                 in_size: tuple[int, int] = (32, 32),
+                 out_size: tuple[int, int] = (8, 8)):
+        self.in_size = in_size
+        self.out_size = out_size
+        self._decoder = ImageDecodeStage(fake=fake, size=in_size)
+
+    def _resize_one(self, t: np.ndarray) -> np.ndarray:
+        oh, ow = self.out_size
+        h, w = t.shape[:2]
+        ri = (np.arange(oh) * h) // oh
+        ci = (np.arange(ow) * w) // ow
+        return t[ri][:, ci]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tensors = [
+            self._resize_one(self._decoder._decode_one(b))
+            for b in batch.column("payload").to_pylist()
+        ]
+        flat = np.stack(tensors).reshape(len(tensors), -1)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "height": pa.array(
+                    [self.out_size[0]] * len(tensors), pa.int32()
+                ),
+                "width": pa.array(
+                    [self.out_size[1]] * len(tensors), pa.int32()
+                ),
+                "pixels": pa.array(
+                    [row.tobytes() for row in flat], pa.binary()
+                ),
+            }
+        )
+
+
 class AudioFrameSampleStage:
     """Actor-pool stage: sample N fixed-offset frames from audio payloads
     (stub decode — deterministic byte slices stand in for PCM frames)."""

@@ -74,7 +74,14 @@ def visit(
     child_queue: str = "normal",
 ) -> VisitResult:
     """Process one fetched body; emit document identity + children."""
-    if req_type == "page":
+    if req_type in ("page", "event_trigger"):
+        # event_trigger (reference lib/crawlerFactory.js:657-681): the
+        # event names a URL to crawl with priority; in the pages domain
+        # that is a page visit. (Deviation, documented: the reference
+        # embeds the pre-fetched body in the request payload; this
+        # engine's frontier carries only payload_etag, and the fetch
+        # stage re-reads the body from the corpus — equivalent here
+        # because fetches are deterministic lookups.)
         text = extract_text(body)
         links = extract_links(body, url)
         urn = page_urn(url)

@@ -69,3 +69,56 @@ def test_shard_stability():
 
 def test_url_host():
     assert url_host("http://A.B.com:8080/x") == "a.b.com"
+
+
+def test_fast_path_is_fixed_point_of_slow_path():
+    """Any URL the fast-path regex accepts must be an exact fixed point
+    of rfc3986_normalize with an identical host — otherwise dedup keys
+    would diverge by code path."""
+    from hypothesis import given, settings, strategies as st
+
+    from raycrawl.functions.urlnorm import (
+        _fast_canonical_host,
+        rfc3986_normalize,
+        url_host,
+    )
+
+    host_label = st.from_regex(r"[a-z0-9]([a-z0-9-]{0,5}[a-z0-9])?", fullmatch=True)
+    path_seg = st.from_regex(r"[A-Za-z0-9._~!$&'()*+,;=:@-]{0,8}", fullmatch=True)
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        scheme=st.sampled_from(["http", "https"]),
+        labels=st.lists(host_label, min_size=1, max_size=3),
+        segs=st.lists(path_seg, min_size=0, max_size=4),
+        query=st.one_of(st.none(), st.from_regex(r"[A-Za-z0-9=&._-]{1,12}", fullmatch=True)),
+    )
+    def check(scheme, labels, segs, query):
+        url = f"{scheme}://{'.'.join(labels)}/" + "/".join(segs)
+        if query is not None:
+            url += f"?{query}"
+        host = _fast_canonical_host(url)
+        if host is not None:
+            assert rfc3986_normalize(url) == url, url
+            assert url_host(url) == host, url
+
+    check()
+
+
+def test_fast_path_rejects_non_canonical():
+    from raycrawl.functions.urlnorm import _fast_canonical_host
+
+    for u in [
+        "HTTP://a.example.com/x",        # uppercase scheme
+        "http://A.example.com/x",        # uppercase host
+        "http://a.example.com:80/x",     # default port
+        "http://a.example.com./x",       # trailing dot host
+        "http://u@a.example.com/x",      # userinfo
+        "http://a.example.com/x/../y",   # dot segment
+        "http://a.example.com/x/.",      # trailing dot segment
+        "http://a.example.com/%7Ea",     # percent escape
+        "http://a.example.com/x#f",      # fragment
+        "http://a.example.com/x?",       # bare trailing ?
+        "http://a.example.com",          # empty path
+    ]:
+        assert _fast_canonical_host(u) is None, u
