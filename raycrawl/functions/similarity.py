@@ -78,23 +78,53 @@ def merge_topk(q_idx, ids, scores, num_queries: int, k: int):
 
 
 class LshIndex:
-    """Random-hyperplane LSH: sign-bit bucket codes for cosine ANN."""
+    """Random-hyperplane LSH: sign-bit bucket codes for cosine ANN.
 
-    def __init__(self, dim: int, num_planes: int = 12, seed: int = 11) -> None:
+    ``num_tables`` independent hash tables (the standard recall lever —
+    a single table of hyperplane bits has low recall on near-uniform
+    embeddings; candidates are the UNION of each table's probed
+    buckets). ``codes`` returns an (n, T) int64 matrix."""
+
+    def __init__(
+        self,
+        dim: int,
+        num_planes: int = 12,
+        seed: int = 11,
+        num_tables: int = 1,
+    ) -> None:
         rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, num_planes))
+        self.num_tables = num_tables
+        self.planes = rng.standard_normal((num_tables, dim, num_planes))
 
     def codes(self, vecs: np.ndarray) -> np.ndarray:
-        bits = (vecs @ self.planes) > 0
-        weights = (1 << np.arange(bits.shape[1], dtype=np.int64))
-        return (bits.astype(np.int64) * weights).sum(axis=1)
-
-    def probe_codes(self, vec: np.ndarray, multiprobe: int = 1) -> list[int]:
-        """Bucket of `vec` plus single-bit-flip neighbors (multiprobe)."""
-        base = int(self.codes(vec[None, :])[0])
-        out = [base]
-        if multiprobe:
-            margins = np.abs(vec @ self.planes)
-            for b in np.argsort(margins)[:multiprobe]:
-                out.append(base ^ (1 << int(b)))
+        weights = 1 << np.arange(self.planes.shape[2], dtype=np.int64)
+        out = np.empty((len(vecs), self.num_tables), dtype=np.int64)
+        for t in range(self.num_tables):
+            bits = (vecs @ self.planes[t]) > 0
+            out[:, t] = (bits.astype(np.int64) * weights).sum(axis=1)
         return out
+
+    def probe_codes(
+        self, vec: np.ndarray, multiprobe: int = 1
+    ) -> list[set[int]]:
+        """Per table: bucket of `vec` plus its lowest-margin single-bit
+        flips (multiprobe)."""
+        base = self.codes(vec[None, :])[0]
+        out: list[set[int]] = []
+        for t in range(self.num_tables):
+            probes = {int(base[t])}
+            if multiprobe:
+                margins = np.abs(vec @ self.planes[t])
+                for b in np.argsort(margins)[:multiprobe]:
+                    probes.add(int(base[t]) ^ (1 << int(b)))
+            out.append(probes)
+        return out
+
+    def candidate_mask(
+        self, codes: np.ndarray, probes: list[set[int]]
+    ) -> np.ndarray:
+        """Rows of `codes` (n, T) matching ANY table's probe set."""
+        mask = np.zeros(len(codes), dtype=bool)
+        for t, probe in enumerate(probes):
+            mask |= np.isin(codes[:, t], list(probe))
+        return mask

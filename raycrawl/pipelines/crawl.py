@@ -621,14 +621,14 @@ class CrawlEngine:
         max_urls: int | None = None,
     ) -> CrawlResult:
         cfg = self.cfg
-        if cfg.mode == "ray" and cfg.ray_exec == "pull" and start_epoch == 0:
+        if cfg.mode == "ray" and cfg.ray_exec == "pull":
             if cfg.host_rate_per_sec * cfg.epoch_seconds < cfg.fetch_batch_size * 2 * cfg.fetch_concurrency or self.politeness.robots:
                 raise ValueError(
                     "pull executor requires an unbounded politeness gate "
                     "(its windows are approximate); use ray_exec='actors' "
                     "for rate-limited crawls"
                 )
-            return self._run_pull(seeds, max_urls)
+            return self._run_pull(seeds, max_urls, start_cycle=start_epoch)
         if seeds:
             self.seed(seeds)
         epoch = start_epoch
@@ -677,7 +677,10 @@ class CrawlEngine:
     # -- continuous (pull) executor ---------------------------------------
 
     def _run_pull(
-        self, seeds: list[dict] | None, max_urls: int | None
+        self,
+        seeds: list[dict] | None,
+        max_urls: int | None,
+        start_cycle: int = 0,
     ) -> CrawlResult:
         """Continuous scheduler: no epoch barrier. The driver keeps
         every worker ~2 chunks deep; takes, dispatches, offers
@@ -707,7 +710,7 @@ class CrawlEngine:
             self.seed(seeds)
         _tm["seed"] = _time.perf_counter() - _t
         epoch_us = int(cfg.epoch_seconds * 1e6)
-        cycle = 0
+        cycle = start_cycle
         clock_us = cfg.base_ts_us
         chunk = cfg.fetch_batch_size
         pool = self.workers
@@ -734,6 +737,8 @@ class CrawlEngine:
             nonlocal last_flushed_cycle
             refs = [s.flush_epoch.remote(cycle) for s in self.shards]
             last_flushed_cycle = cycle
+            # checkpoint marker: a killed run resumes from here
+            self._write_manifest(cycle, completed=False)
             if sync:
                 self._ingest_lineage(ray.get(refs), cycle)
             else:

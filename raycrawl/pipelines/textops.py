@@ -107,7 +107,32 @@ def langid_heuristic(sf_dir: str):
     )
 
 
-@query("quality_scores")  # multi-factor heuristic — rows-only check
+@query(
+    "quality_scores",
+    # mirrors functions/textstats.quality_score exactly: Python \s ==
+    # [ \t\n\r\f\v]; score factors are powers of 0.5 so round(.,4) is
+    # the identity on both sides
+    """
+    SELECT doc_id,
+      CASE WHEN LENGTH(text) = 0
+             OR LEN(regexp_extract_all(text, '\\S+')) = 0 THEN 0.0
+        ELSE POWER(0.5,
+          CAST(LENGTH(text) < 32 OR LENGTH(text) > 100000 AS INT)
+          + CAST(
+              (LENGTH(text) - (LEN(regexp_extract_all(text, '\\S+')) - 1))
+                / CAST(LEN(regexp_extract_all(text, '\\S+')) AS DOUBLE) < 2
+              OR
+              (LENGTH(text) - (LEN(regexp_extract_all(text, '\\S+')) - 1))
+                / CAST(LEN(regexp_extract_all(text, '\\S+')) AS DOUBLE) > 12
+            AS INT)
+          + CAST(
+              LEN(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+                / CAST(LENGTH(text) AS DOUBLE) > 0.2
+            AS INT)
+        ) END AS quality
+    FROM documents
+    """,
+)
 def quality_scores(sf_dir: str):
     def score(t: pa.Table) -> pa.Table:
         scores = [quality_score(x) for x in t.column("text").to_pylist()]
@@ -203,40 +228,51 @@ def minhash_lsh_dupes(sf_dir: str, threshold: float = 0.5):
             )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """Pairs within one LSH bucket. A pair surfaces in every band
+        whose slices agree — emitting it ONLY from the FIRST such band
+        dedups by construction (each band sees the full signatures, so
+        'first matching band' is computable locally), removing what was
+        a second all-to-all shuffle just to drop_duplicates."""
+        empty = pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"),
+             "doc_b": pd.Series([], dtype="int64"),
+             "est_jaccard": pd.Series([], dtype="float64")}
+        )
         if len(g) < 2:
-            return pd.DataFrame(
-                {"doc_a": pd.Series([], dtype="int64"),
-                 "doc_b": pd.Series([], dtype="int64"),
-                 "est_jaccard": pd.Series([], dtype="float64")}
-            )
+            return empty
         g = g.sort_values("doc_id")
+        band_id = int.from_bytes(bytes(g["band_key"].iloc[0][:2]), "big")
         ids = g["doc_id"].tolist()
-        sigs = [np.frombuffer(s, dtype=np.uint64) for s in g["sig"]]
+        rows_per_band = 128 // 16
+        mats = [
+            np.frombuffer(s, dtype=np.uint64).reshape(16, rows_per_band)
+            for s in g["sig"]
+        ]
         a_out, b_out, j_out = [], [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 if ids[i] == ids[j]:
                     continue
-                est = est_jaccard(sigs[i], sigs[j])
+                eq = (mats[i] == mats[j]).all(axis=1)
+                if not eq[band_id] or int(np.argmax(eq)) != band_id:
+                    continue  # not this pair's first matching band
+                est = float((mats[i] == mats[j]).mean())
                 if est >= threshold:
                     a_out.append(ids[i])
                     b_out.append(ids[j])
                     j_out.append(est)
+        if not a_out:
+            return empty
         return pd.DataFrame(
             {"doc_a": a_out, "doc_b": b_out, "est_jaccard": j_out}
         )
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    cand = (
+    return (
         ds.map_batches(Sign, batch_format="pyarrow", concurrency=2)
         .groupby("band_key")
         .map_groups(pairs, batch_format="pandas")
     )
-    # candidate pairs can surface in several bands — final exact dedup
-    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(subset=["doc_a", "doc_b"])
-
-    return cand.groupby("doc_a").map_groups(dedup_pairs, batch_format="pandas")
 
 
 @query("simhash_fingerprints")  # rows-only check
@@ -401,9 +437,9 @@ def knn_lsh(sf_dir: str):
     q_ids = qt.column("vec_id").to_numpy()
     q_vecs = as_matrix(qt.column("embedding"))
     dim = q_vecs.shape[1]
-    index = LshIndex(dim, num_planes=8, seed=11)
+    index = LshIndex(dim, num_planes=8, seed=11, num_tables=8)
     probe_sets = [
-        set(index.probe_codes(q_vecs[i], multiprobe=3))
+        index.probe_codes(q_vecs[i], multiprobe=2)
         for i in range(len(q_ids))
     ]
     q_ref = ray.put((q_ids, q_vecs, probe_sets))
@@ -411,7 +447,7 @@ def knn_lsh(sf_dir: str):
     class Partial:
         def __init__(self):
             self.q_ids, self.q_vecs, self.probes = ray.get(q_ref)
-            self.index = LshIndex(dim, num_planes=8, seed=11)
+            self.index = LshIndex(dim, num_planes=8, seed=11, num_tables=8)
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids = t.column("vec_id").to_numpy()
@@ -419,7 +455,9 @@ def knn_lsh(sf_dir: str):
             codes = self.index.codes(vecs)
             qi_all, nid_all, sc_all = [], [], []
             for qi, probe in enumerate(self.probes):
-                m = np.isin(codes, list(probe)) & (ids != self.q_ids[qi])
+                m = self.index.candidate_mask(codes, probe) & (
+                    ids != self.q_ids[qi]
+                )
                 if not m.any():
                     continue
                 sub_ids, sub = ids[m], vecs[m]

@@ -139,3 +139,48 @@ def test_resume_reproduces_seen_set(corpus, oracle, tmp_path):
     docs = resumed.documents_table()
     assert set(docs.column("url").to_pylist()) == oracle[0]
     assert docs.num_rows == len(oracle[0])  # resume did not re-crawl
+
+
+def test_pull_executor_matches_oracle(corpus, oracle, tmp_path, ray_session):
+    """The continuous (no-epoch-barrier) scheduler crawls exactly the
+    same reachable set with the same per-url text and deadletters."""
+    cfg = CrawlConfig(
+        state_dir=str(tmp_path / "state"),
+        mode="ray",
+        ray_exec="pull",
+        num_shards=3,
+        fetch_concurrency=2,
+        fetch_batch_size=16,
+    )
+    result = CrawlEngine(corpus, cfg).run(seeds=default_seeds(2))
+    _check_against_oracle(corpus, result, oracle)
+
+
+def test_pull_resume_reproduces_seen_set(corpus, oracle, tmp_path, ray_session):
+    """Kill a pull-mode crawl mid-flight; resume must converge to the
+    identical URL-seen set / documents (north rule)."""
+    full_cfg = CrawlConfig(
+        state_dir=str(tmp_path / "full"),
+        mode="ray",
+        ray_exec="pull",
+        num_shards=3,
+        fetch_concurrency=2,
+        fetch_batch_size=16,
+    )
+    full = CrawlEngine(corpus, full_cfg).run(seeds=default_seeds(2))
+    cfg = CrawlConfig(
+        state_dir=str(tmp_path / "partial"),
+        mode="ray",
+        ray_exec="pull",
+        num_shards=3,
+        fetch_concurrency=2,
+        fetch_batch_size=16,
+    )
+    partial = CrawlEngine(corpus, cfg).run(
+        seeds=default_seeds(2), max_urls=40
+    )
+    assert partial.docs_written < full.docs_written  # actually interrupted
+    resumed = resume_crawl(corpus, cfg)
+    assert resumed.seen_digest == full.seen_digest
+    assert resumed.seen_count == full.seen_count
+    _check_against_oracle(corpus, resumed, oracle)

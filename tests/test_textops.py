@@ -1,0 +1,72 @@
+"""Correctness of the non-SQL-expressible training-data operators
+(driver gives these only a rows-only check): MinHash-LSH near-dup vs a
+brute-force oracle, LSH-ANN recall vs exact cosine, and determinism of
+the fingerprint/simhash/langid kernels."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(columns):
+    return pq.read_table(f"{SF}/documents.parquet", columns=columns)
+
+
+def test_minhash_lsh_matches_bruteforce_oracle(ray_session):
+    from raycrawl.functions.dedup import MinHasher, est_jaccard, shingles
+    from raycrawl.pipelines.textops import minhash_lsh_dupes
+
+    got = minhash_lsh_dupes(SF).to_pandas()
+    have = sorted(zip(got["doc_a"], got["doc_b"]))
+    assert len(have) == len(set(have))  # no duplicate pairs
+
+    t = _docs(["doc_id", "text"])
+    h = MinHasher(num_perms=128, seed=7)
+    ids = t.column("doc_id").to_pylist()
+    sigs = [h.signature(shingles(x, k=3)) for x in t.column("text").to_pylist()]
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = sigs[i].reshape(16, 8), sigs[j].reshape(16, 8)
+            if (a == b).all(axis=1).any() and est_jaccard(sigs[i], sigs[j]) >= 0.5:
+                want.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+    assert have == sorted(want)
+
+
+def test_knn_lsh_recall_vs_bruteforce(ray_session):
+    from raycrawl.pipelines.textops import knn_cosine, knn_lsh
+
+    exact = knn_cosine(SF).to_pandas()
+    approx = knn_lsh(SF).to_pandas()
+    exact_set = set(zip(exact["query_id"], exact["neighbor_id"]))
+    approx_set = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.2, recall  # 8-table multiprobe LSH
+
+
+def test_fingerprints_deterministic():
+    from raycrawl.functions.textstats import fingerprint
+
+    texts = _docs(["text"]).column("text").to_pylist()[:20]
+    assert [fingerprint(t) for t in texts] == [fingerprint(t) for t in texts]
+    assert len({fingerprint(t) for t in texts}) > 1
+
+
+def test_simhash_near_texts_close():
+    from raycrawl.functions.dedup import simhash64
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    near = base.replace("lazy", "sleepy", 1)
+    far = "completely different content about other topics entirely " * 20
+    d_near = bin(simhash64(base) ^ simhash64(near)).count("1")
+    d_far = bin(simhash64(base) ^ simhash64(far)).count("1")
+    assert d_near < d_far
+
+
+def test_langid_heuristic_sane():
+    from raycrawl.functions.textstats import langid
+
+    assert langid("the and of to in is that it was for on") == "en"
+    assert langid("") == "und"
