@@ -86,6 +86,7 @@ class CrawlConfig:
     ray_exec: str = "actors"         # 'actors' (persistent pool) | 'dataset'
     fetch_concurrency: int = 8
     fetch_batch_size: int = 2048
+    fetcher_cls: type | None = None  # X3 injection; None = TableFetcher
     attenuate: bool = True
     snapshot_id: str = "s0"
     base_ts_us: int = BASE_TS_US + 86_400_000_000  # crawl clock: corpus ts + 1d
@@ -211,6 +212,7 @@ class CrawlEngine:
                         max_attempts=cfg.max_attempts,
                         retry_queue=cfg.retry_queue,
                         dead_dir=self.dead_dir,
+                        fetcher_cls=cfg.fetcher_cls,
                     )
                     for _ in range(cfg.fetch_concurrency)
                 ]
@@ -237,6 +239,7 @@ class CrawlEngine:
                 max_attempts=cfg.max_attempts,
                 retry_queue=cfg.retry_queue,
                 dead_dir=self.dead_dir,
+                fetcher_cls=cfg.fetcher_cls,
             )
 
     # -- shard RPC helpers (transparent local/ray) -------------------------
@@ -409,6 +412,7 @@ class CrawlEngine:
                 max_attempts=self.cfg.max_attempts,
                 retry_queue=self.cfg.retry_queue,
                 dead_dir=self.dead_dir,
+                fetcher_cls=self.cfg.fetcher_cls,
             ),
             batch_format="pyarrow",
             batch_size=None,

@@ -163,6 +163,7 @@ class CrawlWorkerStage:
         max_attempts: int = 0,
         retry_queue: str = "immediate",
         dead_dir: str | None = None,
+        fetcher_cls: type | None = None,
     ) -> None:
         try:
             import ray
@@ -173,7 +174,11 @@ class CrawlWorkerStage:
                 index = ray.get(index)
         except ImportError:  # pragma: no cover
             pass
-        self.fetcher = TableFetcher(corpus, index)
+        # component injection (reference X3, lib/crawlerFactory.js:168-179
+        # + the fetcher swap in test/unit/processingTests.js:93-109): any
+        # class with the TableFetcher interface (lookup/body/lang/
+        # fetched_at) — e.g. an HTTP fetcher in a real deployment
+        self.fetcher = (fetcher_cls or TableFetcher)(corpus, index)
         self.shards = shards
         self.num_shards = len(shards)
         self.docs_dir = docs_dir

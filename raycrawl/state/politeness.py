@@ -92,3 +92,59 @@ class PolitenessPolicy:
         ordinal[order] = run_ordinals
         allowances = np.array([self.allowance(str(h)) for h in uniq])
         return ordinal < allowances[inv]
+
+
+@dataclass
+class ComputeBudget:
+    """Adaptive per-key compute limiter (reference T6,
+    /root/reference/providers/limiting/computeLimiter.js:27-77 wired at
+    lib/crawlerFactory.js:306-346): each fetch charges its duration
+    OVERAGE above a baseline (the fastest latency observed — the
+    network floor) against a per-key budget of `limit_ms` busy
+    milliseconds per `window_sec` window; an exhausted key is benched
+    until ``now + window/4`` (the reference's computed reset). The
+    baseline refreshes as a rolling min so a structurally-slow epoch
+    re-calibrates (reference: 4-probe mean every 60 s).
+
+    Deterministic: the caller injects the clock (``now_us``).
+    """
+
+    limit_ms: float = 15_000.0
+    window_sec: float = 15.0
+    baseline_ms: float = 0.0
+    _used_ms: dict[str, float] = field(default_factory=dict)
+    _window_start_us: dict[str, int] = field(default_factory=dict)
+    _bench_until_us: dict[str, int] = field(default_factory=dict)
+    _rolling_min_ms: float = float("inf")
+
+    def observe_baseline(self, elapsed_ms: float) -> None:
+        """Feed a latency sample; baseline = rolling min (the cheapest
+        request approximates pure network time)."""
+        if elapsed_ms < self._rolling_min_ms:
+            self._rolling_min_ms = elapsed_ms
+            self.baseline_ms = elapsed_ms
+
+    def benched_until(self, key: str, now_us: int) -> int | None:
+        """Epoch-clock timestamp until which `key` is benched, if any."""
+        until = self._bench_until_us.get(key)
+        if until is not None and until > now_us:
+            return until
+        return None
+
+    def consume(self, key: str, elapsed_ms: float, now_us: int) -> int | None:
+        """Charge one request's compute overage. Returns the bench-until
+        timestamp if this charge exhausted the key's budget, else None
+        (reference consume(): over -> exhaust(resetTime))."""
+        self.observe_baseline(elapsed_ms)
+        window_us = int(self.window_sec * 1e6)
+        start = self._window_start_us.get(key)
+        if start is None or now_us - start >= window_us:
+            self._window_start_us[key] = now_us
+            self._used_ms[key] = 0.0
+        charge = max(0.0, elapsed_ms - self.baseline_ms)
+        self._used_ms[key] = self._used_ms.get(key, 0.0) + charge
+        if self._used_ms[key] > self.limit_ms:
+            until = now_us + window_us // 4
+            self._bench_until_us[key] = until
+            return until
+        return None

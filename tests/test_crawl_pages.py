@@ -184,3 +184,38 @@ def test_pull_resume_reproduces_seen_set(corpus, oracle, tmp_path, ray_session):
     assert resumed.seen_digest == full.seen_digest
     assert resumed.seen_count == full.seen_count
     _check_against_oracle(corpus, resumed, oracle)
+
+
+def test_fetcher_injection(corpus, tmp_path):
+    """X3 component injection (crawlerFactory.js:168-179; the golden
+    tests swap the fetcher, processingTests.js:93-109): any class with
+    the TableFetcher interface plugs into the stage."""
+    import numpy as np
+
+    class AllMissFetcher:
+        def __init__(self, corpus, index):
+            pass
+
+        def lookup(self, digests):
+            n = len(digests)
+            return np.zeros(n, dtype=bool), np.zeros(n, dtype=np.int64)
+
+        def body(self, idx):  # pragma: no cover - never found
+            raise AssertionError
+
+        def lang(self, idx):  # pragma: no cover
+            raise AssertionError
+
+        def fetched_at(self, idx):  # pragma: no cover
+            raise AssertionError
+
+    cfg = CrawlConfig(
+        state_dir=str(tmp_path / "state"),
+        mode="local",
+        num_shards=2,
+        fetcher_cls=AllMissFetcher,
+    )
+    result = CrawlEngine(corpus, cfg).run(seeds=default_seeds(2))
+    assert result.docs_written == 0
+    # every seed exhausted its retries against the dead network
+    assert result.deadlettered == 2

@@ -157,3 +157,29 @@ def test_shard_routing_consistency():
                 split[d] = sid
         for d in digests:
             assert split[d] == shard_of(d, num_shards)
+
+
+def test_compute_budget_mirrors_reference_semantics():
+    """T6 ComputeLimiter parity (computeLimiter.js:27-77): overage
+    charging against a windowed budget, bench at window/4, rolling-min
+    baseline."""
+    from raycrawl.state.politeness import ComputeBudget
+
+    cb = ComputeBudget(limit_ms=100.0, window_sec=8.0)
+    now = 1_000_000
+    # first sample sets the baseline: charge = elapsed - baseline = 0
+    assert cb.consume("h", 50.0, now) is None
+    assert cb.baseline_ms == 50.0
+    # a faster request lowers the baseline (rolling min)
+    assert cb.consume("h", 10.0, now) is None
+    assert cb.baseline_ms == 10.0
+    # overage accumulates: two 60ms requests = 100ms overage = at limit
+    assert cb.consume("h", 60.0, now) is None
+    until = cb.consume("h", 61.0, now)  # 50 + 51 > 100 -> benched
+    assert until == now + int(8e6) // 4  # reset at window/4
+    assert cb.benched_until("h", now) == until
+    assert cb.benched_until("h", until + 1) is None
+    # other keys unaffected; window rollover resets usage
+    assert cb.consume("other", 50.0, now) is None
+    later = now + int(8e6)
+    assert cb.consume("h", 60.0, later) is None  # fresh window
