@@ -77,6 +77,48 @@ def merge_topk(q_idx, ids, scores, num_queries: int, k: int):
     )
 
 
+class IvfIndex:
+    """IVF (inverted-file) ANN: deterministic k-means centroids; rows
+    partition by nearest centroid; queries probe the ``nprobe`` nearest
+    lists. The scale path alongside LSH: at 10^10 rows the assignment
+    is a partition key (one Parquet dir per list) so a query touches
+    only nprobe partitions."""
+
+    def __init__(
+        self,
+        train_vecs: np.ndarray,
+        num_lists: int = 16,
+        iters: int = 3,
+        seed: int = 11,
+    ) -> None:
+        rng = np.random.default_rng(seed)
+        train = train_vecs / np.linalg.norm(
+            train_vecs, axis=1, keepdims=True
+        )
+        pick = rng.choice(len(train), size=min(num_lists, len(train)),
+                          replace=False)
+        cents = train[np.sort(pick)]
+        for _ in range(iters):  # seeded Lloyd iterations (cosine)
+            assign = (train @ cents.T).argmax(axis=1)
+            for c in range(len(cents)):
+                members = train[assign == c]
+                if len(members):
+                    m = members.mean(axis=0)
+                    n = np.linalg.norm(m)
+                    if n > 0:
+                        cents[c] = m / n
+        self.centroids = cents
+
+    def assign(self, vecs: np.ndarray) -> np.ndarray:
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        return (vn @ self.centroids.T).argmax(axis=1)
+
+    def probe_lists(self, vec: np.ndarray, nprobe: int = 4) -> np.ndarray:
+        v = vec / np.linalg.norm(vec)
+        sims = self.centroids @ v
+        return np.argsort(-sims, kind="stable")[:nprobe]
+
+
 class LshIndex:
     """Random-hyperplane LSH: sign-bit bucket codes for cosine ANN.
 

@@ -370,9 +370,8 @@ def deadletter_requeue(sf_dir: str):
 )
 def tpch_q1_pricing(sf_dir: str):
     """Baseline wide aggregate with in-batch partial aggregation
-    (combiner) before the small shuffle — SURVEY §2.5/§4 pattern."""
-    from ray.data.aggregate import Sum
-
+    (combiner); the tiny final combine runs on the driver — SURVEY
+    §2.5/§4 pattern."""
     cutoff = pd.Timestamp("1998-09-02")
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -413,12 +412,19 @@ def tpch_q1_pricing(sf_dir: str):
             "l_shipdate",
         ],
     )
-    partials = ds.map_batches(partial, batch_format="pandas")
-    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_charge_cents", alias_name="sum_charge_cents"),
-        Sum("count_order", alias_name="count_order"),
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    # ~(blocks x 6) partial rows: the final combine belongs on the
+    # driver — a distributed Aggregate on 384 rows costs more in
+    # shuffle machinery than it computes (measured 1.35 s of a 2.1 s
+    # query)
+    out = partials.groupby(
+        ["l_returnflag", "l_linestatus"], as_index=False
+    ).agg(
+        sum_qty=("sum_qty", "sum"),
+        sum_charge_cents=("sum_charge_cents", "sum"),
+        count_order=("count_order", "sum"),
     )
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 @query(

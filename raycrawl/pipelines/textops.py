@@ -503,6 +503,92 @@ def knn_lsh(sf_dir: str):
     )
 
 
+@query("knn_ivf")  # approximate — recall vs brute force in tests
+def knn_ivf(sf_dir: str):
+    """IVF ANN (the second scale path, alongside LSH): deterministic
+    k-means centroids trained on a seeded sample, rows assigned to
+    their nearest list per batch, queries probing the nprobe nearest
+    lists. At 10^10 rows the assignment becomes a Parquet partition key
+    so a query reads only nprobe partitions."""
+    import ray
+
+    from ..functions.similarity import IvfIndex
+
+    head = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    all_vecs = as_matrix(head.column("embedding"))
+    qt = head.filter(pc.less(head.column("vec_id"), _KNN_QUERIES))
+    q_ids = qt.column("vec_id").to_numpy()
+    q_vecs = as_matrix(qt.column("embedding"))
+    # train on a seeded deterministic sample (first 2048 rows)
+    index = IvfIndex(all_vecs[:2048], num_lists=16, iters=3, seed=11)
+    probes = [
+        set(index.probe_lists(q_vecs[i], nprobe=4).tolist())
+        for i in range(len(q_ids))
+    ]
+    q_ref = ray.put((q_ids, q_vecs, probes, index.centroids))
+
+    class Partial:
+        def __init__(self):
+            self.q_ids, self.q_vecs, self.probes, cents = ray.get(q_ref)
+            self.index = IvfIndex.__new__(IvfIndex)
+            self.index.centroids = cents
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column("vec_id").to_numpy()
+            vecs = as_matrix(t.column("embedding"))
+            assign = self.index.assign(vecs)
+            qi_all, nid_all, sc_all = [], [], []
+            for qi, probe in enumerate(self.probes):
+                m = np.isin(assign, list(probe)) & (ids != self.q_ids[qi])
+                if not m.any():
+                    continue
+                a, b, c = cosine_topk_partial(
+                    ids[m], vecs[m], self.q_vecs[qi : qi + 1], _KNN_K
+                )
+                qi_all.append(np.full(len(b), qi, dtype=np.int64))
+                nid_all.append(b)
+                sc_all.append(c)
+            if not qi_all:
+                return pa.table(
+                    {
+                        "q_idx": pa.array([], pa.int64()),
+                        "neighbor_id": pa.array([], pa.int64()),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "q_idx": pa.array(np.concatenate(qi_all), pa.int64()),
+                    "neighbor_id": pa.array(
+                        np.concatenate(nid_all), pa.int64()
+                    ),
+                    "score": pa.array(np.concatenate(sc_all), pa.float64()),
+                }
+            )
+
+    parts = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(Partial, batch_format="pyarrow", concurrency=2)
+        .to_pandas()
+    )
+    qi, nid, rank = merge_topk(
+        parts["q_idx"].to_numpy(),
+        parts["neighbor_id"].to_numpy(),
+        parts["score"].to_numpy(),
+        len(q_ids),
+        _KNN_K,
+    )
+    return pa.table(
+        {
+            "query_id": pa.array(q_ids[qi], pa.int64()),
+            "neighbor_id": pa.array(nid, pa.int64()),
+            "rank": pa.array(rank, pa.int64()),
+        }
+    )
+
+
 _NEAR_DUP_BP = 3500  # cosine >= 0.35 in basis points
 
 

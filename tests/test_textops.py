@@ -70,3 +70,14 @@ def test_langid_heuristic_sane():
 
     assert langid("the and of to in is that it was for on") == "en"
     assert langid("") == "und"
+
+
+def test_knn_ivf_recall_vs_bruteforce(ray_session):
+    from raycrawl.pipelines.textops import knn_cosine, knn_ivf
+
+    exact = knn_cosine(SF).to_pandas()
+    approx = knn_ivf(SF).to_pandas()
+    exact_set = set(zip(exact["query_id"], exact["neighbor_id"]))
+    approx_set = set(zip(approx["query_id"], approx["neighbor_id"]))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.2, recall  # nprobe 4 of 16 lists
