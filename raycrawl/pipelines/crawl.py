@@ -83,7 +83,7 @@ class CrawlConfig:
     seen_capacity: int = 1_000_000   # per shard (bloom)
     seen_fpr: float = 1e-3
     mode: str = "ray"                # 'ray' | 'local'
-    ray_exec: str = "actors"         # 'actors' (persistent pool) | 'dataset'
+    ray_exec: str = "actors"  # 'pull' (continuous) | 'actors' (epochs) | 'dataset'
     fetch_concurrency: int = 8
     fetch_batch_size: int = 2048
     fetcher_cls: type | None = None  # X3 injection; None = TableFetcher
