@@ -391,35 +391,19 @@ class CrawlEngine:
                     drain_refs.append(self.workers[widx].drain.remote())
             self._drain_refs = drain_refs
             return pa.concat_tables(ray.get(results))
-        chunk = self.cfg.fetch_batch_size
-        chunks = [
-            epoch_table.slice(off, chunk) for off in range(0, n, chunk)
-        ]
-        import ray.data
-
-        ds = ray.data.from_arrow(chunks)
-        out = ds.map_batches(
-            CrawlWorkerStage,
-            fn_constructor_kwargs=dict(
-                corpus=self.corpus_ref,
-                index=self.index_ref,
-                shards=self.shards,
-                docs_dir=self.docs_dir,
-                child_queue=self.cfg.child_queue,
-                epoch=epoch,
-                now_us=now_us,
-                attenuate=self.cfg.attenuate,
-                max_attempts=self.cfg.max_attempts,
-                retry_queue=self.cfg.retry_queue,
-                dead_dir=self.dead_dir,
-                fetcher_cls=self.cfg.fetcher_cls,
-            ),
-            batch_format="pyarrow",
-            batch_size=None,
-            concurrency=max(1, min(self.cfg.fetch_concurrency, len(chunks))),
-            num_cpus=1,
-        )
-        return pa.concat_tables(ray.get(out.to_arrow_refs()))
+        # NOTE: an earlier ray_exec='dataset' branch ran this stage via
+        # ray.data.from_arrow(chunks).map_batches(CrawlWorkerStage, ...)
+        # per epoch. Removed deliberately: (a) Ray Data's schema peek
+        # executes a limit-1 prefix of the plan, so the SIDE-EFFECTING
+        # stage (offers, retries, deadletter writes) ran twice per
+        # epoch — measured as 4x-inflated deadletters; (b) the actor
+        # pool is torn down at the end of every Dataset execution and
+        # the crawl is iterative. Dataset/map_batches remains the
+        # substrate for every non-iterative pipeline in
+        # pipelines/analytics.py + textops.py — the crawl's inner loop
+        # is exactly the "shared mutable state" case where raw actors
+        # are the documented escape hatch.
+        raise ValueError(f"unknown ray_exec mode: {self.cfg.ray_exec!r}")
 
     def _epoch(self, epoch: int, now_us: int) -> dict:
         import time as _time
