@@ -219,3 +219,18 @@ def test_fetcher_injection(corpus, tmp_path):
     assert result.docs_written == 0
     # every seed exhausted its retries against the dead network
     assert result.deadlettered == 2
+
+
+def test_pull_rejects_binding_politeness(corpus, tmp_path, ray_session):
+    """The continuous scheduler's politeness windows are approximate;
+    configs where the budget actually binds must use epoch mode."""
+    cfg = CrawlConfig(
+        state_dir=str(tmp_path / "state"),
+        mode="ray",
+        ray_exec="pull",
+        num_shards=2,
+        host_rate_per_sec=1,   # binding budget
+        fetch_concurrency=2,
+    )
+    with pytest.raises(ValueError, match="politeness"):
+        CrawlEngine(corpus, cfg).run(seeds=default_seeds(1))
