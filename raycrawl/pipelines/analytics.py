@@ -13,8 +13,6 @@ Registry: ``QUERIES[name] -> fn(sf_dir)``, ``ORACLES[name] -> sql``
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa

@@ -39,7 +39,7 @@ import json
 import math
 import os
 from collections import defaultdict, deque
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from glob import glob
 
 import numpy as np
@@ -83,7 +83,7 @@ class CrawlConfig:
     seen_capacity: int = 1_000_000   # per shard (bloom)
     seen_fpr: float = 1e-3
     mode: str = "ray"                # 'ray' | 'local'
-    ray_exec: str = "actors"  # 'pull' (continuous) | 'actors' (epochs) | 'dataset'
+    ray_exec: str = "actors"  # 'pull' (continuous) | 'actors' (epochs)
     fetch_concurrency: int = 8
     fetch_batch_size: int = 2048
     fetcher_cls: type | None = None  # X3 injection; None = TableFetcher

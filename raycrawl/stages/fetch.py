@@ -41,7 +41,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..functions.urlnorm import canonicalize_batch, shard_of
+from ..functions.urlnorm import canonicalize_batch
 from ..schemas import DOCUMENT_SCHEMA, FRONTIER_SCHEMA
 from .visitor import visit
 
