@@ -198,6 +198,11 @@ class CrawlEngine:
             )
             self.workers = []
             if cfg.ray_exec in ("actors", "pull"):
+                # never request more CPU-reserving actors than the
+                # cluster has — a pool larger than the CPU count leaves
+                # actors pending forever and the epoch barrier deadlocks
+                total_cpus = int(ray.cluster_resources().get("CPU", 1))
+                n_workers = max(1, min(cfg.fetch_concurrency, total_cpus))
                 worker_cls = ray.remote(num_cpus=1)(CrawlWorkerStage)
                 self.workers = [
                     worker_cls.remote(
@@ -214,7 +219,7 @@ class CrawlEngine:
                         dead_dir=self.dead_dir,
                         fetcher_cls=cfg.fetcher_cls,
                     )
-                    for _ in range(cfg.fetch_concurrency)
+                    for _ in range(n_workers)
                 ]
         else:
             self.shards = [
