@@ -126,6 +126,10 @@ class TableFetcher:
     def body(self, idx: int) -> bytes:
         return self._html[idx].as_py()
 
+    def bodies(self, idx: np.ndarray) -> list[bytes]:
+        """Batch body materialization: one take + to_pylist pass."""
+        return self._html.take(pa.array(idx, pa.int64())).to_pylist()
+
     def lang(self, idx: int) -> str:
         return self._lang[idx].as_py()
 
@@ -450,6 +454,10 @@ class CrawlWorkerStage:
         url_hashes = batch.column("url_hash").to_pylist()
 
         found, idxs = self.fetcher.lookup(url_hashes)
+        # batch-materialize the found bodies in ONE Arrow take + pylist
+        # pass instead of per-row __getitem__/.as_py() calls
+        bodies = self.fetcher.bodies(idxs[found]) if found.any() else []
+        body_pos = np.cumsum(found) - 1  # row i -> bodies[body_pos[i]]
         _t1 = _t.perf_counter()
 
         statuses = np.full(len(urls), 404, dtype=np.int32)
@@ -460,7 +468,7 @@ class CrawlWorkerStage:
             if not found[i]:
                 continue
             row = int(idxs[i])
-            body = self.fetcher.body(row)
+            body = bodies[body_pos[i]]
             etag = etag_of(body)
             if payload_etags[i] and payload_etags[i] == etag:
                 statuses[i] = 304  # unchanged — skip reprocess
