@@ -46,10 +46,12 @@ def peek(engine: CrawlEngine, queue: str, count: int = 25) -> pa.Table:
         sort_keys=[("depth", "ascending"), ("discovery_ts", "ascending"),
                    ("url", "ascending")],
     )
-    table = table.take(order).slice(0, count)
-    # peek ≠ pop: put everything back (requeue skips dedup)
+    table = table.take(order)
+    # peek ≠ pop: put EVERYTHING taken back (requeue skips dedup), then
+    # return only the top slice — requeuing just the slice would silently
+    # drop the rest of the taken rows from the frontier.
     engine._route(table, "requeue")
-    return table
+    return table.slice(0, count)
 
 
 def pop(engine: CrawlEngine, queue: str, count: int = 25) -> pa.Table:
@@ -165,9 +167,16 @@ def latest_documents(state_dir: str) -> pa.Table:
         sort_keys=[("urn", "ascending"), ("processed_at", "descending")],
     )
     table = table.take(order)
-    urns = table.column("urn").to_pylist()
-    keep = [i for i, u in enumerate(urns) if i == 0 or u != urns[i - 1]]
-    return table.take(pa.array(keep))
+    # first-row-per-urn-run mask, vectorized: row i survives iff its urn
+    # differs from row i-1's (table is sorted urn asc, processed_at desc)
+    urns = table.column("urn").combine_chunks()
+    if len(urns) <= 1:
+        return table
+    import numpy as np
+
+    neq = pc.not_equal(urns.slice(1), urns.slice(0, len(urns) - 1))
+    keep = np.concatenate(([True], neq.to_numpy(zero_copy_only=False)))
+    return table.filter(pa.array(keep))
 
 
 # -- deadletter surface (routes/deadletters.js) -----------------------------

@@ -32,7 +32,9 @@ from ..functions.similarity import (
     merge_topk,
 )
 from ..functions.textstats import (
+    PUNCT_REGEX_SQL,
     TOKEN_REGEX_SQL,
+    WORD_REGEX_SQL,
     fingerprints_batch,
     langid,
     punct_counts_batch,
@@ -50,7 +52,7 @@ from .analytics import _read, query
     "text_token_stats",
     "SELECT doc_id, LENGTH(text) AS n_chars_calc, "
     f"LEN(regexp_extract_all(text, '{TOKEN_REGEX_SQL}')) AS n_tokens, "
-    "LEN(regexp_extract_all(text, '[^A-Za-z0-9 \\t\\n\\r]')) AS n_punct "
+    f"LEN(regexp_extract_all(text, '{PUNCT_REGEX_SQL}')) AS n_punct "
     "FROM documents",
 )
 def text_token_stats(sf_dir: str):
@@ -109,24 +111,25 @@ def langid_heuristic(sf_dir: str):
 
 @query(
     "quality_scores",
-    # mirrors functions/textstats.quality_score exactly: Python \s ==
-    # [ \t\n\r\f\v]; score factors are powers of 0.5 so round(.,4) is
-    # the identity on both sides
-    """
+    # mirrors functions/textstats.quality_score exactly: whitespace is
+    # the EXPLICIT class [ \t\n\r\f\v] on BOTH sides (Python \s and RE2
+    # \s disagree on \v/unicode spaces — ADVICE r1); score factors are
+    # powers of 0.5 so round(.,4) is the identity on both sides
+    f"""
     SELECT doc_id,
       CASE WHEN LENGTH(text) = 0
-             OR LEN(regexp_extract_all(text, '\\S+')) = 0 THEN 0.0
+             OR LEN(regexp_extract_all(text, '{WORD_REGEX_SQL}')) = 0 THEN 0.0
         ELSE POWER(0.5,
           CAST(LENGTH(text) < 32 OR LENGTH(text) > 100000 AS INT)
           + CAST(
-              (LENGTH(text) - (LEN(regexp_extract_all(text, '\\S+')) - 1))
-                / CAST(LEN(regexp_extract_all(text, '\\S+')) AS DOUBLE) < 2
+              (LENGTH(text) - (LEN(regexp_extract_all(text, '{WORD_REGEX_SQL}')) - 1))
+                / CAST(LEN(regexp_extract_all(text, '{WORD_REGEX_SQL}')) AS DOUBLE) < 2
               OR
-              (LENGTH(text) - (LEN(regexp_extract_all(text, '\\S+')) - 1))
-                / CAST(LEN(regexp_extract_all(text, '\\S+')) AS DOUBLE) > 12
+              (LENGTH(text) - (LEN(regexp_extract_all(text, '{WORD_REGEX_SQL}')) - 1))
+                / CAST(LEN(regexp_extract_all(text, '{WORD_REGEX_SQL}')) AS DOUBLE) > 12
             AS INT)
           + CAST(
-              LEN(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))
+              LEN(regexp_extract_all(text, '{PUNCT_REGEX_SQL}'))
                 / CAST(LENGTH(text) AS DOUBLE) > 0.2
             AS INT)
         ) END AS quality

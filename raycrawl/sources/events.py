@@ -53,7 +53,13 @@ def format_event(event: dict, *, now_us: int) -> dict | None:
         "url": url,
         "type": "event_trigger",
         "queue": "events",
-        "payload_etag": "1",  # body is pre-fetched (crawlerFactory.js:670)
+        # The reference marks event bodies pre-fetched (crawlerFactory.js:670).
+        # This rebuild RE-FETCHES event URLs from the corpus instead (the
+        # frontier schema does not carry bodies); "1" never matches a body
+        # etag, so the row always fetches — and a URL absent from the corpus
+        # goes through the retry ledger into deadletters. Deviation is
+        # documented in stages/visitor.py.
+        "payload_etag": "1",
         "context": {
             "repoType": "private" if repo.get("private") else "public"
         },
@@ -81,8 +87,9 @@ def ingest_events(
             continue
         spec = format_event(json.loads(raw.decode("utf-8")), now_us=now_us)
         if spec is not None:
-            # frontier schema carries url/type/queue/payload_etag; the
-            # payload body travels in the documents table on process
+            # frontier schema carries url/type/queue/payload_etag only;
+            # payload_body is dropped — the event URL is re-fetched from
+            # the corpus when visited (see format_event)
             specs.append(
                 {
                     k: spec[k]

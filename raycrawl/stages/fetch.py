@@ -61,7 +61,7 @@ def build_fetch_index(corpus: pa.Table) -> dict[str, np.ndarray]:
     would not be a single in-memory table)."""
     _, digests, _ = canonicalize_batch(corpus.column("url").to_pylist())
     raw = np.frombuffer(b"".join(digests), dtype=np.uint8).reshape(-1, 20)
-    h64 = raw[:, :8].copy().view(np.uint64).reshape(-1)
+    h64 = raw[:, :8].copy().view(np.dtype("<u8")).reshape(-1)
     tail = raw[:, 8:].copy()
     order = np.argsort(h64, kind="stable")
     return {
@@ -73,7 +73,7 @@ def build_fetch_index(corpus: pa.Table) -> dict[str, np.ndarray]:
 
 def _digests_to_h64_tail(digests: list[bytes]):
     raw = np.frombuffer(b"".join(digests), dtype=np.uint8).reshape(-1, 20)
-    h64 = raw[:, :8].copy().view(np.uint64).reshape(-1)
+    h64 = raw[:, :8].copy().view(np.dtype("<u8")).reshape(-1)
     return h64, raw[:, 8:]
 
 
@@ -249,7 +249,7 @@ class CrawlWorkerStage:
             b"".join(digests.to_pylist()), dtype=np.uint8
         ).reshape(-1, 20)
         sids = (
-            raw[:, :8].copy().view(np.uint64).reshape(-1)
+            raw[:, :8].copy().view(np.dtype("<u8")).reshape(-1)
             % np.uint64(self.num_shards)
         ).astype(np.int64)
         order = np.argsort(sids, kind="stable")

@@ -33,6 +33,17 @@ def test_peek_does_not_consume(tmp_path):
     assert api.queue_depths(engine)["normal"] == 2  # put back
 
 
+def test_peek_across_shards_requeues_every_taken_row(tmp_path):
+    # ADVICE r1: peek takes up to `count` rows from EVERY shard; all of
+    # them (not just the returned slice) must go back to the frontier.
+    _, engine = _engine(tmp_path)
+    engine.seed(default_seeds(8))  # spread across both shards
+    assert api.queue_depths(engine)["normal"] == 8
+    peeked = api.peek(engine, "normal", 2)  # count < per-shard take
+    assert peeked.num_rows == 2
+    assert api.queue_depths(engine)["normal"] == 8  # nothing dropped
+
+
 def test_pop_consumes_in_priority_order(tmp_path):
     _, engine = _engine(tmp_path)
     engine.seed(default_seeds(2))

@@ -68,7 +68,8 @@ def test_all_queries_have_callables(registry):
         "rate_limit_violations", "deadletter_requeue", "tpch_q1_pricing",
         "top_sources", "topk_orders_per_status", "events_sessionize",
         "text_token_stats", "lang_agg", "text_exact_dedup", "knn_cosine",
-        "label_counts", "multimodal_payload_stats",
+        "label_counts", "multimodal_payload_stats", "quality_scores",
+        "embedding_near_dup",
     ],
 )
 def test_query_matches_oracle(registry, con, name):

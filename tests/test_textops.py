@@ -47,11 +47,19 @@ def test_knn_lsh_recall_vs_bruteforce(ray_session):
 
 
 def test_fingerprints_deterministic():
-    from raycrawl.functions.textstats import fingerprint
+    from raycrawl.functions.textstats import (
+        fingerprint,
+        fingerprint_slow,
+        fingerprints_batch,
+    )
 
     texts = _docs(["text"]).column("text").to_pylist()[:20]
     assert [fingerprint(t) for t in texts] == [fingerprint(t) for t in texts]
     assert len({fingerprint(t) for t in texts}) > 1
+    # vectorized power-dot == scalar Horner oracle, incl. edge cases
+    edge = texts + ["", "a", "\x00\xff" * 3, "é" * 5]
+    assert [fingerprint(t) for t in edge] == [fingerprint_slow(t) for t in edge]
+    assert fingerprints_batch(edge).tolist() == [fingerprint_slow(t) for t in edge]
 
 
 def test_simhash_near_texts_close():
