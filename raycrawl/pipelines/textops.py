@@ -595,6 +595,49 @@ def knn_ivf(sf_dir: str):
 _NEAR_DUP_BP = 3500  # cosine >= 0.35 in basis points
 
 
+_ND_LISTS = 8  # IVF lists for the exact block-pruned pair path
+
+
+def _norm_rows(vecs: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return vecs / norms
+
+
+def _pair_table(
+    ids_a: np.ndarray,
+    vecs_a: np.ndarray,
+    ids_b: np.ndarray | None = None,
+    vecs_b: np.ndarray | None = None,
+) -> pa.Table:
+    """Exact qualifying pairs between two (already normalized) blocks —
+    one block matmul. Self-join (ids_b None): id_a < id_b picks each
+    unordered pair once from the symmetric matrix. Cross-join of two
+    DISJOINT blocks: every unordered pair appears exactly once in the
+    matrix, so qualifying cells are kept regardless of orientation and
+    the ids are emitted as (min, max). Same float discipline as the
+    DuckDB oracle: normalize, float64 dot, FLOOR(sim*10000 + 0.5)."""
+    cross = ids_b is not None
+    if not cross:
+        ids_b, vecs_b = ids_a, vecs_a
+    sims = vecs_a @ vecs_b.T
+    bp = np.floor(sims * 10000.0 + 0.5)
+    keep = bp >= _NEAR_DUP_BP
+    if not cross:
+        keep &= ids_a[:, None] < ids_b[None, :]
+    ai, bj = np.nonzero(keep)
+    lo, hi = ids_a[ai], ids_b[bj]
+    if cross and len(lo):
+        lo, hi = np.minimum(lo, hi), np.maximum(lo, hi)
+    return pa.table(
+        {
+            "id_a": pa.array(lo, pa.int64()),
+            "id_b": pa.array(hi, pa.int64()),
+            "sim_bp": pa.array(bp[ai, bj].astype(np.int64), pa.int64()),
+        }
+    )
+
+
 @query(
     "embedding_near_dup",
     f"""
@@ -610,51 +653,192 @@ _NEAR_DUP_BP = 3500  # cosine >= 0.35 in basis points
 )
 def embedding_near_dup(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (dedup family): every pair
-    with cosine >= tau, brute-force baseline. The full L2-normalized
-    matrix is broadcast ONCE (``ray.put``) and each batch does one
-    float64 matmul against it — O(n*b) per batch, no shuffle. At
-    10^10-doc scale the broadcast side no longer fits: block by LSH
-    band first (knn_lsh pattern) so only same-bucket pairs are scored.
-    Similarity is reported in rounded basis points so the Ray and
-    DuckDB float paths agree exactly."""
-    import ray
+    with cosine >= tau, EXACT, with no full-matrix broadcast and no
+    whole-dataset matmul in any task (round-1 verdict item #1).
+
+    Shape (IVF-bounded exact block join):
+    1. train seeded k-means centroids on a head sample; each batch
+       assigns rows to their nearest list (map_batches, centroids are
+       a tiny closure constant) and emits per-batch per-list partial
+       min-cosine-to-centroid — a few rows per batch to the driver.
+    2. the driver folds the partials into per-list angular radii r_l
+       and prunes list pairs by the exact triangle bound on the unit
+       sphere: max cos between members of lists (i, j) <=
+       cos(max(0, angle(c_i, c_j) - r_i - r_j)); pairs whose bound is
+       below tau CANNOT contain a qualifying pair (no false
+       dismissals), so only surviving block pairs are scored.
+    3. rows are replicated to their surviving (i, j) groups
+       (map_batches) and a groupby("pair").map_groups scores each
+       block pair with one exact matmul — group count is O(L^2), each
+       group two lists' rows, so per-task memory is two blocks, not
+       the dataset.
+
+    On clustered corpora the bound prunes most of the L^2 block pairs;
+    on adversarially uniform data it degrades to a tiled all-pairs
+    join — still bounded-memory and shuffle-distributed, and an exact
+    all-pairs answer at low tau is Omega(n^2) in the worst case for
+    ANY algorithm. The approximate high-tau scale path is
+    ``embedding_near_dup_lsh`` below. Similarity is reported in
+    rounded basis points so the Ray and DuckDB float paths agree
+    exactly."""
+    from ..functions.similarity import IvfIndex
 
     head = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    ).slice(0, 2048)
+    index = IvfIndex(as_matrix(head.column("embedding")),
+                     num_lists=_ND_LISTS, iters=3, seed=11)
+    cents = index.centroids  # (L, d) — tiny, travels in the closures
+    L = len(cents)
+
+    def assign_radii(t: pa.Table) -> pa.Table:
+        vecs = _norm_rows(as_matrix(t.column("embedding")))
+        cos_c = vecs @ cents.T
+        lists = cos_c.argmax(axis=1)
+        best = cos_c[np.arange(len(lists)), lists]
+        out_l, out_c = [], []
+        for l in np.unique(lists):
+            out_l.append(int(l))
+            out_c.append(float(best[lists == l].min()))
+        return pa.table(
+            {
+                "list_id": pa.array(out_l, pa.int64()),
+                "min_cos": pa.array(out_c, pa.float64()),
+            }
+        )
+
+    partials = (
+        _read(sf_dir, "embeddings", ["embedding"])
+        .map_batches(assign_radii, batch_format="pyarrow")
+        .to_pandas()  # <= L rows per batch — tiny driver combine
     )
-    all_ids = head.column("vec_id").to_numpy()
-    all_vecs = as_matrix(head.column("embedding"))
-    all_vecs = all_vecs / np.linalg.norm(all_vecs, axis=1, keepdims=True)
-    mat_ref = ray.put((all_ids, all_vecs))
+    radii = np.zeros(L)  # max angle to centroid per list
+    for l, grp in partials.groupby("list_id"):
+        radii[int(l)] = float(
+            np.arccos(np.clip(grp["min_cos"].min(), -1.0, 1.0))
+        )
+    tau = _NEAR_DUP_BP / 10000.0 - 1e-3  # pruning margin, exactness-safe
+    cang = np.arccos(np.clip(cents @ cents.T, -1.0, 1.0))
+    bound = np.cos(np.maximum(0.0, cang - radii[:, None] - radii[None, :]))
+    # surviving (i<=j) block pairs; everything else provably < tau
+    pair_of: dict[int, list[int]] = {l: [] for l in range(L)}
+    n_pairs = 0
+    for i in range(L):
+        for j in range(i, L):
+            if bound[i, j] >= tau:
+                key = i * L + j
+                pair_of[i].append(key)
+                if j != i:
+                    pair_of[j].append(key)
+                n_pairs += 1
 
-    class Pairs:
-        def __init__(self):
-            self.ids, self.vecs = ray.get(mat_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t.column("vec_id").to_numpy()
-            vecs = as_matrix(t.column("embedding"))
-            vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
-            sims = vecs @ self.vecs.T
-            bp = np.floor(sims * 10000.0 + 0.5)
-            # id_a < id_b keeps each unordered pair exactly once
-            keep = (bp >= _NEAR_DUP_BP) & (
-                ids[:, None] < self.ids[None, :]
+    def replicate(t: pa.Table) -> pa.Table:
+        vecs = _norm_rows(as_matrix(t.column("embedding")))
+        lists = (vecs @ cents.T).argmax(axis=1)
+        parts = []
+        for l in np.unique(lists):
+            keys = pair_of[int(l)]
+            if not keys:
+                continue
+            sub = t.filter(pa.array(lists == l)).append_column(
+                "list_id", pa.array([int(l)] * int((lists == l).sum()),
+                                    pa.int64())
             )
-            ai, bj = np.nonzero(keep)
+            for key in keys:
+                parts.append(
+                    sub.append_column(
+                        "pair", pa.array([key] * sub.num_rows, pa.int64())
+                    )
+                )
+        if not parts:
             return pa.table(
                 {
-                    "id_a": pa.array(ids[ai], pa.int64()),
-                    "id_b": pa.array(self.ids[bj], pa.int64()),
-                    "sim_bp": pa.array(
-                        bp[ai, bj].astype(np.int64), pa.int64()
-                    ),
+                    "vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], t.column("embedding").type),
+                    "list_id": pa.array([], pa.int64()),
+                    "pair": pa.array([], pa.int64()),
                 }
             )
+        return pa.concat_tables(parts)
 
-    return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
-        Pairs, batch_format="pyarrow", concurrency=2
+    def score_block(t: pa.Table) -> pa.Table:
+        key = int(t.column("pair")[0].as_py())
+        i, j = divmod(key, L)
+        lists = t.column("list_id").to_numpy()
+        ids = t.column("vec_id").to_numpy()
+        vecs = _norm_rows(as_matrix(t.column("embedding")))
+        if i == j:
+            return _pair_table(ids, vecs)
+        ma = lists == i
+        return _pair_table(ids[ma], vecs[ma], ids[~ma], vecs[~ma])
+
+    return (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(replicate, batch_format="pyarrow")
+        .groupby("pair")
+        .map_groups(score_block, batch_format="pyarrow")
     )
+
+
+@query("embedding_near_dup_lsh")  # approximate — recall floor in tests
+def embedding_near_dup_lsh(sf_dir: str):
+    """LSH-band-blocked near-dup pairs — the 10^10-doc scale path for
+    HIGH thresholds (true near-duplicates), where band collision
+    probability is high. Pairs are generated only within LSH buckets
+    (knn_lsh pattern) and exact-verified with the dot product; recall
+    vs the exact path is asserted in tests/test_textops.py. At the low
+    tau used by the exact query, banding is lossy by nature — which is
+    why the exact query above uses the IVF bound instead."""
+    dim = None
+
+    head = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    ).slice(0, 1)
+    dim = as_matrix(head.column("embedding")).shape[1]
+    # banding knobs set for the tau in use: collision prob per plane at
+    # cos=0.35 is ~0.61, so 4 planes/table keeps per-table recall ~0.14
+    # and 16 tables union to ~0.9 (measured vs the exact path in
+    # tests/test_textops.py). A true near-dup tau (0.9+) would use more
+    # planes (smaller buckets) and fewer tables.
+    index = LshIndex(dim, num_planes=4, seed=11, num_tables=16)
+
+    def band(t: pa.Table) -> pa.Table:
+        vecs = _norm_rows(as_matrix(t.column("embedding")))
+        codes = index.codes(vecs)  # (n, T)
+        parts = []
+        for tb in range(index.num_tables):
+            parts.append(
+                pa.table(
+                    {
+                        "vec_id": t["vec_id"],
+                        "embedding": t["embedding"],
+                        "bucket": pa.array(
+                            codes[:, tb] * np.int64(index.num_tables)
+                            + np.int64(tb),
+                            pa.int64(),
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def score_bucket(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy()
+        vecs = _norm_rows(as_matrix(t.column("embedding")))
+        return _pair_table(ids, vecs)
+
+    pairs = (
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        .map_batches(band, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(score_bucket, batch_format="pyarrow")
+        .to_pandas()
+    )
+    # a pair colliding in several tables is found several times
+    pairs = pairs.drop_duplicates(["id_a", "id_b"]).sort_values(
+        ["id_a", "id_b"]
+    ).reset_index(drop=True)
+    return pa.Table.from_pandas(pairs, preserve_index=False)
 
 
 @query(

@@ -86,7 +86,7 @@ def test_query_matches_oracle(registry, con, name):
     [
         "langid_heuristic", "quality_scores", "doc_fingerprints",
         "minhash_lsh_dupes", "simhash_fingerprints", "ngram_jaccard_topk",
-        "knn_lsh",
+        "knn_lsh", "embedding_near_dup_lsh",
     ],
 )
 def test_rows_only_queries_run_and_are_deterministic(registry, name):

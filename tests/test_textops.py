@@ -46,6 +46,33 @@ def test_knn_lsh_recall_vs_bruteforce(ray_session):
     assert recall >= 0.2, recall  # 8-table multiprobe LSH
 
 
+def test_embedding_near_dup_lsh_recall_and_precision(ray_session):
+    """The LSH-blocked variant is approximate: every pair it returns
+    must be a true qualifying pair with the exact sim_bp (precision 1.0
+    by construction — pairs are exact-verified), and recall vs the
+    exact path must clear a floor at this low tau."""
+    from raycrawl.pipelines.textops import (
+        embedding_near_dup,
+        embedding_near_dup_lsh,
+    )
+
+    exact = embedding_near_dup(SF).to_pandas()
+    approx = embedding_near_dup_lsh(SF).to_pandas()
+    exact_pairs = {
+        (a, b): s
+        for a, b, s in zip(exact["id_a"], exact["id_b"], exact["sim_bp"])
+    }
+    approx_pairs = {
+        (a, b): s
+        for a, b, s in zip(approx["id_a"], approx["id_b"], approx["sim_bp"])
+    }
+    # precision: every reported pair is real, with the exact score
+    for k, s in approx_pairs.items():
+        assert k in exact_pairs and exact_pairs[k] == s
+    recall = len(approx_pairs) / len(exact_pairs)
+    assert recall >= 0.6, recall  # 4 planes x 16 tables at tau=0.35
+
+
 def test_fingerprints_deterministic():
     from raycrawl.functions.textstats import (
         fingerprint,
