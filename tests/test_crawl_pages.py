@@ -101,6 +101,85 @@ def test_politeness_throttled_same_result(corpus, oracle, tmp_path):
     assert defer > 0  # throttling actually deferred work
 
 
+def scoped_bfs_oracle(corpus, seeds, scope):
+    """BFS where discovered links outside `scope` hosts are never
+    followed (seeds exempt, like the reference orgList)."""
+    pages = {}
+    for url, html in zip(
+        corpus.column("url").to_pylist(), corpus.column("html").to_pylist()
+    ):
+        pages[rfc3986_normalize(url)] = html
+
+    def in_scope(u):
+        host = u.split("://", 1)[1].split("/", 1)[0]
+        return any(host == a or host.endswith("." + a) for a in scope)
+
+    frontier = [rfc3986_normalize(s["url"]) for s in seeds]
+    seen = set(frontier)
+    reachable, dangling = set(), set()
+    while frontier:
+        nxt = []
+        for u in frontier:
+            if u not in pages:
+                dangling.add(u)
+                continue
+            reachable.add(u)
+            for link in extract_links(pages[u], u):
+                c = rfc3986_normalize(link)
+                if c not in seen and in_scope(c):
+                    seen.add(c)
+                    nxt.append(c)
+        frontier = nxt
+    return reachable, dangling
+
+
+def test_scope_filter_limits_expansion(corpus, tmp_path):
+    """M5 crawl-scope filter golden: out-of-scope discovered links are
+    never offered; the crawl equals a BFS restricted to the scope."""
+    scope = ("host0.example.com", "host1.example.com")
+    want_reachable, want_dangling = scoped_bfs_oracle(
+        corpus, default_seeds(2), scope
+    )
+    _, result = _run(corpus, tmp_path, scope_hosts=scope)
+    docs = result.documents_table()
+    assert set(docs.column("url").to_pylist()) == want_reachable
+    hosts = {u.split("://")[1].split("/")[0] for u in docs.column("url").to_pylist()}
+    assert hosts <= set(scope)
+    dead = result.deadletters_table()
+    assert set(dead.column("url").to_pylist()) == want_dangling
+    # scope actually pruned something vs the unscoped crawl
+    full_reachable, _ = bfs_oracle(corpus, default_seeds(2))
+    assert len(want_reachable) < len(full_reachable)
+
+
+def test_compute_budget_benches_hosts_same_result(corpus, oracle, tmp_path):
+    """T6 ComputeBudget wiring: with a tiny per-host compute budget the
+    heavy hosts exhaust their window and defer (bench), yet the crawl
+    still converges to the exact oracle result."""
+    _, result = _run(
+        corpus, tmp_path,
+        compute_limit_ms=2.0,          # exhaust after ~2KB of overage
+        compute_window_sec=40.0,       # bench = window/4 = 10 epochs
+        compute_bytes_per_ms=1000.0,
+    )
+    _check_against_oracle(corpus, result, oracle)
+    defer = sum(
+        m["value"] for m in result.metrics.to_pylist() if m["name"] == "defer"
+    )
+    assert defer > 0  # budget exhaustion actually benched hosts
+
+
+def test_compute_budget_rejected_in_pull_mode(corpus, tmp_path, ray_session):
+    cfg = CrawlConfig(
+        state_dir=str(tmp_path / "state"), mode="ray", ray_exec="pull",
+        num_shards=2, fetch_concurrency=2, compute_limit_ms=5.0,
+    )
+    engine = CrawlEngine(corpus, cfg)
+    with pytest.raises(ValueError, match="compute-budgeted"):
+        engine.run(seeds=default_seeds(1))
+    engine.close()
+
+
 def test_bloom_filter_same_result(corpus, oracle, tmp_path):
     _, result = _run(
         corpus, tmp_path, seen_filter="bloom", seen_capacity=100_000

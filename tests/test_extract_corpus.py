@@ -61,6 +61,42 @@ def test_corpus_links_resolve_to_known_hosts():
     assert n_resolved < n_links        # but dangling links exist
 
 
+def test_absolute_href_fast_path_matches_urljoin():
+    """The extract_links fast path (skip urljoin for absolute hrefs with
+    a non-empty host) must agree with urljoin on every href shape,
+    including the empty-netloc forms that DO resolve against the base."""
+    from urllib.parse import urljoin
+
+    from hypothesis import given, strategies as st
+
+    base = "http://base.example.com/dir/page"
+
+    def fast(href: str) -> str:
+        if href.startswith("http://"):
+            p = 7
+        elif href.startswith("https://"):
+            p = 8
+        else:
+            p = -1
+        if p > 0 and len(href) > p and href[p] not in "/?":
+            return href
+        return urljoin(base, href)
+
+    cases = [
+        "http://c/d", "https://X.Y/p?q=1", "http://", "https://",
+        "http:///path", "http://?q", "http://c", "http://c:80/d",
+        "/rel", "rel/x", "//proto.example.com/x",
+    ]
+    for h in cases:
+        assert fast(h) == urljoin(base, h), h
+
+    @given(st.text(alphabet="abc:/?.hts", max_size=16))
+    def prop(href):
+        assert fast(href) == urljoin(base, href)
+
+    prop()
+
+
 def test_seeds():
     seeds = default_seeds(2)
     assert seeds[0]["url"] == page_url(0, 0)
