@@ -101,6 +101,18 @@ def flush_queue(engine: CrawlEngine, queue: str) -> int:
     return sum(t.num_rows for t in takes)
 
 
+def patch_config(engine: CrawlEngine, patches) -> None:
+    """PATCH /config (T11/X5, routes/config.js:12-18): queue config
+    patches; they land at the engine's next epoch boundary. Accepts the
+    reference's flat op list or a {subsystem: {key: value}} dict."""
+    engine.patch_config(patches)
+
+
+def get_config(engine: CrawlEngine) -> dict:
+    """GET /config (routes/config.js:20-28)."""
+    return engine.config_snapshot()
+
+
 def status(engine: CrawlEngine) -> dict:
     """GET /status (A6, routes/status.js:10-20)."""
     return {

@@ -39,7 +39,7 @@ import json
 import math
 import os
 from collections import defaultdict, deque
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from glob import glob
 
 import numpy as np
@@ -106,6 +106,15 @@ class CrawlConfig:
     compute_limit_ms: float = 0.0
     compute_window_sec: float = 15.0
     compute_bytes_per_ms: float = 1000.0
+    # T7/T8 multi-identity fetch pool (reference tokenFactory.js:6-29,
+    # limitedTokenFactory.js:19-51; caps at lib/crawlerFactory.js:68-69):
+    # spec string "value#trait1,trait2;value2#..."; each worker gets its
+    # own seeded pool (identity subsets are per-worker on a cluster).
+    # token_traits maps request type -> ordered fallback trait sets.
+    token_specs: str | None = None
+    token_call_cap: int = 30
+    token_call_window_sec: float = 1.0
+    token_traits: dict = field(default_factory=dict)
     # pin worker i to core i (bench path): prevents OS migrations from
     # thrashing L1/L2 at high worker counts; driver/shards float on the
     # process affinity mask and settle on the remaining cores
@@ -203,6 +212,30 @@ class CrawlEngine:
                 limit_ms=cfg.compute_limit_ms,
                 window_sec=cfg.compute_window_sec,
             )
+        # T11/X5 live config: subsystem option dicts with change hooks;
+        # patches queue via patch_config() and land at the next epoch
+        # boundary (_apply_config_patches in run()).
+        from ..state.liveconfig import RefreshingConfig
+
+        self._live = {
+            "crawler": RefreshingConfig(
+                {
+                    "host_rate_per_sec": cfg.host_rate_per_sec,
+                    "defer_delay_sec": cfg.defer_delay_sec,
+                    "epoch_budget": cfg.epoch_budget,
+                }
+            ),
+            "fetcher": RefreshingConfig(
+                {
+                    "concurrency": cfg.fetch_concurrency,
+                    "compute_limit_ms": cfg.compute_limit_ms,
+                }
+            ),
+        }
+        self._live["crawler"].on_change(self._on_crawler_change)
+        self._live["fetcher"].on_change(self._on_fetcher_change)
+        self._pending_patches: list[dict] = []
+        self._epoch_callbacks: list = []
         self._cached_counts = None  # per-epoch counts piggybacked on flush
         self._route_refs: list = []     # pull mode: in-flight requeue RPCs
         self._dead_tables: list[pa.Table] = []  # pull mode: deadletter buffer
@@ -234,26 +267,8 @@ class CrawlEngine:
                 # actors pending forever and the epoch barrier deadlocks
                 total_cpus = int(ray.cluster_resources().get("CPU", 1))
                 n_workers = max(1, min(cfg.fetch_concurrency, total_cpus))
-                worker_cls = ray.remote(num_cpus=1)(CrawlWorkerStage)
                 self.workers = [
-                    worker_cls.remote(
-                        self.corpus_ref,
-                        self.index_ref,
-                        self.shards,
-                        docs_dir=self.docs_dir,
-                        child_queue=cfg.child_queue,
-                        attenuate=cfg.attenuate,
-                        blocking_offers=False,
-                        flush_each_batch=(cfg.ray_exec == "pull"),
-                        max_attempts=cfg.max_attempts,
-                        retry_queue=cfg.retry_queue,
-                        dead_dir=self.dead_dir,
-                        fetcher_cls=cfg.fetcher_cls,
-                        scope_hosts=cfg.scope_hosts,
-                        track_host_cost=cfg.compute_limit_ms > 0,
-                        pin_cpu=(wi if cfg.pin_workers else None),
-                    )
-                    for wi in range(n_workers)
+                    self._spawn_worker(wi) for wi in range(n_workers)
                 ]
                 # Block until every shard and worker has finished its
                 # __init__ (workers resolve the corpus ref there).
@@ -291,7 +306,42 @@ class CrawlEngine:
                 fetcher_cls=cfg.fetcher_cls,
                 scope_hosts=cfg.scope_hosts,
                 track_host_cost=cfg.compute_limit_ms > 0,
+                token_specs=cfg.token_specs,
+                token_call_cap=cfg.token_call_cap,
+                token_call_window_sec=cfg.token_call_window_sec,
+                token_traits=cfg.token_traits,
             )
+
+    def _spawn_worker(self, wi: int):
+        """One fetch-worker actor (ray mode). Factored out so the live
+        config's pool-resize (the AMQP credit-resize analogue,
+        amqp10Queue.js:303-310) can grow the pool mid-crawl."""
+        import ray
+
+        cfg = self.cfg
+        worker_cls = ray.remote(num_cpus=1)(CrawlWorkerStage)
+        return worker_cls.remote(
+            self.corpus_ref,
+            self.index_ref,
+            self.shards,
+            docs_dir=self.docs_dir,
+            child_queue=cfg.child_queue,
+            attenuate=cfg.attenuate,
+            blocking_offers=False,
+            flush_each_batch=(cfg.ray_exec == "pull"),
+            max_attempts=cfg.max_attempts,
+            retry_queue=cfg.retry_queue,
+            dead_dir=self.dead_dir,
+            fetcher_cls=cfg.fetcher_cls,
+            scope_hosts=cfg.scope_hosts,
+            track_host_cost=cfg.compute_limit_ms > 0,
+            pin_cpu=(wi if cfg.pin_workers else None),
+            token_specs=cfg.token_specs,
+            token_call_cap=cfg.token_call_cap,
+            token_call_window_sec=cfg.token_call_window_sec,
+            token_traits=cfg.token_traits,
+            token_seed=wi,
+        )
 
     def close(self) -> None:
         """Tear down the actor pools deterministically. Two live ray
@@ -310,6 +360,97 @@ class CrawlEngine:
                 pass
         self.workers = []
         self.shards = []
+
+    # -- live config (T11/X5; reference routes/config.js:12-50) ------------
+
+    def patch_config(self, patches) -> None:
+        """Queue a config PATCH; it lands at the NEXT epoch boundary so
+        every epoch runs under one consistent snapshot. Accepts the
+        reference's flat op list (``[{"op", "path", "value"}]``, paths
+        like ``/crawler/host_rate_per_sec``) or a convenience dict
+        ``{"crawler": {"host_rate_per_sec": 50}}``."""
+        if isinstance(patches, dict):
+            patches = [
+                {"op": "replace", "path": f"/{sub}/{key}", "value": v}
+                for sub, vals in patches.items()
+                for key, v in vals.items()
+            ]
+        self._pending_patches.extend(patches)
+
+    def on_epoch(self, callback) -> None:
+        """Register a per-epoch hook ``cb(engine, epoch, stats)`` —
+        the monitoring/ops surface tests and dashboards use (the
+        reference's change-listener analogue)."""
+        self._epoch_callbacks.append(callback)
+
+    def config_snapshot(self) -> dict:
+        """GET /config analogue (routes/config.js:20-28)."""
+        return {sub: dict(c.values) for sub, c in self._live.items()}
+
+    def _apply_config_patches(self) -> None:
+        if not self._pending_patches:
+            return
+        from ..state.liveconfig import collect_patches
+
+        grouped = collect_patches(self._pending_patches)
+        self._pending_patches = []
+        for sub, ops in grouped.items():
+            if sub not in self._live:
+                raise ValueError(f"unknown config subsystem: {sub!r}")
+            self._live[sub].apply(ops)
+
+    def _set_worker_host_cost(self, on: bool) -> None:
+        if self.cfg.mode == "ray":
+            import ray
+
+            ray.get(
+                [w.set_track_host_cost.remote(on) for w in self.workers]
+            )
+        elif hasattr(self, "_local_worker"):
+            self._local_worker.set_track_host_cost(on)
+
+    def _on_crawler_change(self, patches: list[dict]) -> None:
+        vals = self._live["crawler"].values
+        self.politeness.host_rate_per_sec = float(
+            vals["host_rate_per_sec"]
+        )
+        self.politeness.defer_delay_sec = float(vals["defer_delay_sec"])
+        self.cfg.epoch_budget = int(vals["epoch_budget"])
+
+    def _on_fetcher_change(self, patches: list[dict]) -> None:
+        vals = self._live["fetcher"].values
+        limit = float(vals["compute_limit_ms"])
+        if limit > 0:
+            from ..state.politeness import ComputeBudget
+
+            if self.compute_budget is None:
+                self.compute_budget = ComputeBudget(
+                    limit_ms=limit, window_sec=self.cfg.compute_window_sec
+                )
+                self._set_worker_host_cost(True)
+            else:
+                self.compute_budget.limit_ms = limit
+        elif self.compute_budget is not None:
+            self.compute_budget = None
+            self._set_worker_host_cost(False)
+        # pool resize (credit-resize analogue, amqp10Queue.js:303-310):
+        # grow by spawning actors, shrink by killing the tail. Epoch
+        # mode only — the pull executor sizes its dispatch state once.
+        want = int(vals["concurrency"])
+        if self.cfg.mode == "ray" and self.cfg.ray_exec == "actors":
+            import ray
+
+            total_cpus = int(ray.cluster_resources().get("CPU", 1))
+            want = max(1, min(want, total_cpus))
+            have = len(self.workers)
+            if want > have:
+                new = [self._spawn_worker(wi) for wi in range(have, want)]
+                ray.get([w.ping.remote() for w in new])
+                self.workers.extend(new)
+            elif want < have:
+                for w in self.workers[want:]:
+                    ray.kill(w, no_restart=True)
+                del self.workers[want:]
 
     # -- shard RPC helpers (transparent local/ray) -------------------------
 
@@ -770,11 +911,12 @@ class CrawlEngine:
                 < cfg.fetch_batch_size * 2 * cfg.fetch_concurrency
                 or self.politeness.robots
                 or self.compute_budget is not None
+                or cfg.token_specs
             ):
                 raise ValueError(
                     "pull executor requires an unbounded politeness gate "
                     "(its windows are approximate); use ray_exec='actors' "
-                    "for rate-limited / compute-budgeted crawls"
+                    "for rate-limited / budgeted / token-pool crawls"
                 )
             return self._run_pull(seeds, max_urls, start_cycle=start_epoch)
         if seeds:
@@ -784,7 +926,10 @@ class CrawlEngine:
         clock_us = cfg.base_ts_us + epoch * epoch_us
         processed = 0
         while epoch < cfg.max_epochs:
+            self._apply_config_patches()  # T11/X5: cycle-boundary patch
             stats = self._epoch(epoch, clock_us)
+            for cb in self._epoch_callbacks:
+                cb(self, epoch, stats)
             if stats["pending"] == 0:
                 break
             if stats["taken"] == 0:

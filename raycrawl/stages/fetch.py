@@ -173,6 +173,11 @@ class CrawlWorkerStage:
         scope_hosts: tuple[str, ...] = (),
         track_host_cost: bool = False,
         pin_cpu: int | None = None,
+        token_specs=None,
+        token_call_cap: int = 30,
+        token_call_window_sec: float = 1.0,
+        token_traits: dict | None = None,
+        token_seed: int = 0,
     ) -> None:
         if pin_cpu is not None:
             # pin this actor to one core: OS migrations between cores
@@ -228,6 +233,25 @@ class CrawlWorkerStage:
         # the engine can charge the ComputeBudget without shipping
         # bodies anywhere.
         self.track_host_cost = track_host_cost
+        # T7/T8 multi-identity fetch pool (reference tokenFactory.js /
+        # limitedTokenFactory.js): each WORKER owns its identity subset
+        # (disjoint per worker on a real cluster — no shared mutable
+        # state across actors). Every fetch selects a trait-matched
+        # token; a benched/capped identity defers the row via
+        # not_before requeue (the deferDelay analogue). None = off
+        # (zero hot-path cost).
+        self.token_pool = None
+        self.token_traits: dict = dict(token_traits or {})
+        self.token_deferred = 0
+        self.token_unmatched = 0
+        if token_specs:
+            from ..state.tokens import LimitedTokenPool, TokenPool
+
+            self.token_pool = LimitedTokenPool(
+                TokenPool(token_specs, seed=token_seed),
+                call_cap=token_call_cap,
+                window_sec=token_call_window_sec,
+            )
         self._local = not hasattr(shards[0].offer, "remote")
         self._pending_offers: list = []
         self._pending_misc: list = []  # requeue RPCs (not admit-counted)
@@ -244,6 +268,11 @@ class CrawlWorkerStage:
         self.OFFERED_SEEN_CAP = 1 << 20
         self.timings = {"lookup": 0.0, "visit": 0.0, "cand": 0.0,
                         "write": 0.0, "out": 0.0, "n": 0}
+
+    def set_track_host_cost(self, on: bool) -> None:
+        """Live-config hook: start/stop emitting HOSTCOST rows when the
+        compute limiter is toggled mid-crawl (T6 x T11)."""
+        self.track_host_cost = on
 
     def ping(self) -> bool:
         """Readiness probe: returns once ``__init__`` (incl. the corpus
@@ -465,6 +494,59 @@ class CrawlWorkerStage:
             )
         return retriable.num_rows, exhausted.num_rows
 
+    def _token_gate(self, batch: pa.Table) -> tuple[pa.Table, int, int]:
+        """T7/T8: select a trait-matched identity per request. Benched /
+        call-capped identities DEFER the row (requeue with not_before =
+        the restore time — the deferDelay analogue); rows no identity
+        matches go through the retry ledger like any failed fetch
+        (reference: a null token errors the request). Returns
+        (admitted_batch, retried, deadlettered)."""
+        types = batch.column("type").to_pylist()
+        pool = self.token_pool
+        now = self.now_us
+        keep, defer_i, defer_until, fail = [], [], [], []
+        for i, ty in enumerate(types):
+            got = pool.get_token(self.token_traits.get(ty), now)
+            if got is None:
+                fail.append(i)
+            elif isinstance(got, int):
+                defer_i.append(i)
+                defer_until.append(got)
+            else:
+                keep.append(i)
+        if len(keep) == len(types):
+            return batch, 0, 0
+        retried = dead = 0
+        if defer_i:
+            self.token_deferred += len(defer_i)
+            deferred = batch.take(pa.array(defer_i, pa.int64())).select(
+                FRONTIER_SCHEMA.names
+            )
+            deferred = deferred.set_column(
+                FRONTIER_SCHEMA.names.index("not_before"),
+                "not_before",
+                pa.array(defer_until, pa.int64()),
+            )
+            for sid, sub in self._shard_split(deferred):
+                if self._local:
+                    self.shards[sid].requeue(sub)
+                else:
+                    self._pending_misc.append(
+                        self.shards[sid].requeue.remote(sub)
+                    )
+        if fail:
+            self.token_unmatched += len(fail)
+            retried, dead = self._handle_failures_inline(
+                batch.take(pa.array(fail, pa.int64()))
+            )
+        return batch.take(pa.array(keep, pa.int64())), retried, dead
+
+    def token_stats(self) -> dict:
+        return {
+            "deferred": self.token_deferred,
+            "unmatched": self.token_unmatched,
+        }
+
     def _in_scope(self, host: str) -> bool:
         """Host allowlist check (M5): exact match or subdomain of an
         allowed host; an empty scope admits everything. Memoized per
@@ -550,6 +632,9 @@ class CrawlWorkerStage:
         import time as _t
 
         _t0 = _t.perf_counter()
+        gate_retried = gate_dead = 0
+        if self.token_pool is not None:
+            batch, gate_retried, gate_dead = self._token_gate(batch)
         urls = batch.column("url").to_pylist()
         types = batch.column("type").to_pylist()
         depths = batch.column("depth").to_pylist()
@@ -644,14 +729,16 @@ class CrawlWorkerStage:
             self._write_docs(doc_rows)
         _t4 = _t.perf_counter()
 
-        retried = dead = 0
+        retried, dead = gate_retried, gate_dead
         if self.max_attempts > 0:
             # inline retry ledger: only 304s return to the driver
             failed_mask = statuses == 404
             if failed_mask.any():
-                retried, dead = self._handle_failures_inline(
+                r, d = self._handle_failures_inline(
                     batch.filter(pa.array(failed_mask))
                 )
+                retried += r
+                dead += d
             keep_mask = statuses == 304
         else:
             keep_mask = statuses != 200
