@@ -175,7 +175,7 @@ def test_compute_budget_rejected_in_pull_mode(corpus, tmp_path, ray_session):
         num_shards=2, fetch_concurrency=2, compute_limit_ms=5.0,
     )
     engine = CrawlEngine(corpus, cfg)
-    with pytest.raises(ValueError, match="compute-budgeted"):
+    with pytest.raises(ValueError, match="budgeted"):
         engine.run(seeds=default_seeds(1))
     engine.close()
 
