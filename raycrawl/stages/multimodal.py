@@ -47,23 +47,34 @@ def attach_payload_metadata(batch: pa.Table) -> pa.Table:
 class ImageDecodeStage:
     """Actor-pool stage: decode image payloads → (h, w, c) uint8.
 
-    Real decode requires a codec library absent from this container.
-    Construct with ``fake=True`` (tests) to use the deterministic fake.
-    Keep ``batch_size`` small for wide binary payloads (see ray_guide:
-    memory-aware batch sizing).
+    BMP (24-bit BI_RGB) and PPM (P6) payloads decode for REAL via the
+    pure-numpy codecs in functions/codecs.py — no library needed.
+    Compressed formats (JPEG/PNG/...) require a codec absent from this
+    container: construct with ``fake=True`` (tests) to substitute the
+    deterministic stand-in for them, else they raise
+    NotImplementedError at decode time. Keep ``batch_size`` small for
+    wide binary payloads (see ray_guide: memory-aware batch sizing).
     """
 
     def __init__(self, *, fake: bool = False, size: tuple[int, int] = (32, 32)):
         self.size = size
         self.fake = fake
-        if not fake:
-            raise NotImplementedError(
-                "image decode requires a codec library (PIL/cv2) not "
-                "present in this environment; pass fake=True for the "
-                "deterministic stand-in"
-            )
 
     def _decode_one(self, payload: bytes) -> np.ndarray:
+        from ..functions.codecs import decode_bmp, decode_ppm, sniff_format
+
+        kind = sniff_format(payload)
+        if kind == "bmp":
+            return decode_bmp(payload)
+        if kind == "ppm":
+            return decode_ppm(payload)
+        if not self.fake:
+            raise NotImplementedError(
+                "only BMP/PPM decode codec-free; this payload needs an "
+                "image library (PIL/cv2) not present in this "
+                "environment — pass fake=True for the deterministic "
+                "stand-in"
+            )
         h, w = self.size
         seed = int.from_bytes(
             hashlib.sha256(payload).digest()[:8], "big"
@@ -79,8 +90,12 @@ class ImageDecodeStage:
         return pa.table(
             {
                 "media_id": batch["media_id"],
-                "height": pa.array([self.size[0]] * len(tensors), pa.int32()),
-                "width": pa.array([self.size[1]] * len(tensors), pa.int32()),
+                "height": pa.array(
+                    [t.shape[0] for t in tensors], pa.int32()
+                ),
+                "width": pa.array(
+                    [t.shape[1] for t in tensors], pa.int32()
+                ),
                 "mean_r": pa.array(feats[:, 0], pa.float64()),
                 "mean_g": pa.array(feats[:, 1], pa.float64()),
                 "mean_b": pa.array(feats[:, 2], pa.float64()),
@@ -133,29 +148,40 @@ class ImageResizeStage:
 
 
 class AudioFrameSampleStage:
-    """Actor-pool stage: sample N fixed-offset frames from audio payloads
-    (stub decode — deterministic byte slices stand in for PCM frames)."""
+    """Actor-pool stage: sample N fixed-offset frames from audio
+    payloads. WAV (PCM16) payloads decode for REAL via the pure-numpy
+    codec — frames are raw PCM sample windows; other formats need a
+    codec (pass ``fake=True`` to slice raw bytes deterministically
+    instead)."""
 
     def __init__(self, *, fake: bool = False, num_frames: int = 4,
                  frame_bytes: int = 256):
         self.num_frames = num_frames
         self.frame_bytes = frame_bytes
-        if not fake:
-            raise NotImplementedError(
-                "audio decode requires a codec; pass fake=True for the "
-                "deterministic stand-in"
-            )
+        self.fake = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.codecs import decode_wav, sniff_format
+
         ids, frame_idx, frames = [], [], []
         for mid, payload in zip(
             batch.column("media_id").to_pylist(),
             batch.column("payload").to_pylist(),
         ):
-            n = max(1, len(payload))
+            if sniff_format(payload) == "wav":
+                samples, _rate = decode_wav(payload)
+                pcm = samples.tobytes()
+            elif self.fake:
+                pcm = payload
+            else:
+                raise NotImplementedError(
+                    "only WAV/PCM16 decodes codec-free; pass fake=True "
+                    "for the deterministic byte-slice stand-in"
+                )
+            n = max(1, len(pcm))
             for f in range(self.num_frames):
                 off = (f * n) // self.num_frames
-                frames.append(payload[off : off + self.frame_bytes])
+                frames.append(pcm[off : off + self.frame_bytes])
                 ids.append(mid)
                 frame_idx.append(f)
         return pa.table(

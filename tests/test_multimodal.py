@@ -37,12 +37,87 @@ def test_attach_payload_metadata_matches_schema():
 
 
 def test_image_decode_requires_codec_unless_fake():
+    """Compressed formats still need a codec: without fake=True the
+    stage raises at decode time (BMP/PPM/WAV decode for real)."""
     with pytest.raises(NotImplementedError):
-        ImageDecodeStage()
+        ImageDecodeStage()(_media_table())  # payloads are fake JPEG
     with pytest.raises(NotImplementedError):
-        AudioFrameSampleStage()
-    with pytest.raises(NotImplementedError):
-        ImageResizeStage()
+        AudioFrameSampleStage()(_media_table())
+
+
+def test_bmp_roundtrip_decodes_for_real():
+    from raycrawl.functions.codecs import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+    # odd width exercises the 4-byte row padding
+    img2 = rng.integers(0, 256, size=(3, 3, 3), dtype=np.uint8)
+    assert (decode_bmp(encode_bmp(img2)) == img2).all()
+
+
+def test_ppm_roundtrip_and_comments():
+    from raycrawl.functions.codecs import decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    with_comment = (
+        b"P6\n# a comment\n6 4\n255\n" + img.astype(np.uint8).tobytes()
+    )
+    assert (decode_ppm(with_comment) == img).all()
+
+
+def test_wav_roundtrip_stereo():
+    from raycrawl.functions.codecs import decode_wav, encode_wav
+
+    rng = np.random.default_rng(9)
+    samples = rng.integers(-32768, 32767, size=(100, 2), dtype=np.int16)
+    got, rate = decode_wav(encode_wav(samples, sample_rate=8000))
+    assert rate == 8000
+    assert (got == samples).all()
+
+
+def test_image_decode_stage_real_bmp_ppm():
+    """The DEFAULT stage path (no fake) decodes real BMP/PPM payloads
+    and reports true per-image dimensions + channel means."""
+    from raycrawl.functions.codecs import encode_bmp, encode_ppm
+
+    img_a = np.zeros((4, 4, 3), dtype=np.uint8)
+    img_a[..., 0] = 200  # pure red-ish
+    img_b = np.full((2, 8, 3), 10, dtype=np.uint8)
+    t = pa.table(
+        {
+            "media_id": pa.array([0, 1], pa.int64()),
+            "media_type": pa.array(["image/bmp", "image/x-ppm"]),
+            "payload": pa.array(
+                [encode_bmp(img_a), encode_ppm(img_b)], pa.binary()
+            ),
+        }
+    )
+    out = ImageDecodeStage()(t)
+    assert out.column("height").to_pylist() == [4, 2]
+    assert out.column("width").to_pylist() == [4, 8]
+    assert out.column("mean_r").to_pylist() == [200.0, 10.0]
+    assert out.column("mean_g").to_pylist() == [0.0, 10.0]
+
+
+def test_audio_stage_real_wav_frames():
+    from raycrawl.functions.codecs import encode_wav
+
+    samples = np.arange(512, dtype=np.int16).reshape(-1, 1)
+    t = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "media_type": pa.array(["audio/wav"]),
+            "payload": pa.array([encode_wav(samples)], pa.binary()),
+        }
+    )
+    out = AudioFrameSampleStage(num_frames=4, frame_bytes=16)(t)
+    assert out.num_rows == 4
+    first = out.column("frame_payload").to_pylist()[0]
+    # frame 0 is the first 16 bytes of the raw PCM stream
+    assert np.frombuffer(first, dtype="<i2").tolist() == list(range(8))
 
 
 def test_image_decode_deterministic_features():
