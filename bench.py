@@ -31,7 +31,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-PAGES_PER_DOC = int(os.environ.get("GRAFT_PAGES_PER_DOC", "200"))
+PAGES_PER_DOC = int(os.environ.get("GRAFT_PAGES_PER_DOC", "600"))
 
 QUERY_NAMES = [
     "tpch_q1_pricing",
@@ -126,8 +126,12 @@ def run_bench() -> dict:
         return wall, crawled
 
     # best-of-2: the sandbox VM shows ±25% host-steal noise between
-    # identical runs; the faster run is the truer capability measure
-    runs = [crawl_once(f"timed{i}") for i in range(2)]
+    # identical runs; the faster run is the truer capability measure.
+    # Scaling mode (one paired sample per process) runs a single crawl
+    # and skips the query suite — pairing is handled by run_scaling.
+    crawl_only = os.environ.get("GRAFT_BENCH_CRAWL_ONLY") == "1"
+    reps = 1 if crawl_only else 2
+    runs = [crawl_once(f"timed{i}") for i in range(reps)]
     wall, crawled = min(runs, key=lambda r: r[0])
 
     # representative operator queries
@@ -136,7 +140,7 @@ def run_bench() -> dict:
     import raycrawl.pipelines.textops  # noqa: F401
 
     qtimes: dict[str, float] = {}
-    for name in QUERY_NAMES:
+    for name in [] if crawl_only else QUERY_NAMES:
         t0 = time.perf_counter()
         res = QUERIES[name](SF_DIR)
         if hasattr(res, "to_pandas"):
@@ -158,10 +162,20 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    ensure_corpus()  # generate once so both runs measure compute only
+    """Paired-sample scaling measurement. This VM shows ±25-60%
+    run-to-run host-steal noise, which is COMMON-MODE across runs that
+    execute close together — so efficiency is computed as the MEDIAN
+    of per-round (t8/t32)/4 ratios over rounds of back-to-back
+    (8-CPU, 32-CPU) runs in fresh processes, not from one lucky/unlucky
+    min on each side. Throughputs reported are each side's best."""
+    ensure_corpus()  # generate once so every run measures compute only
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_CRAWL_ONLY="1",
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -172,15 +186,22 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = run(8), run(32)
-    eff = (lo["value"] / hi["value"]) / (32 / 8)
+    rounds = []
+    for _ in range(3):
+        lo, hi = run(8), run(32)
+        rounds.append((lo["value"], hi["value"], lo["urls_per_sec"],
+                       hi["urls_per_sec"], lo["pages"]))
+    ratios = sorted((l / h) / (32 / 8) for l, h, _, _, _ in rounds)
+    eff = ratios[len(ratios) // 2]
     return {
         "metric": "scaling_efficiency_8_to_32",
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
-        "urls_per_sec_8": lo["urls_per_sec"],
-        "urls_per_sec_32": hi["urls_per_sec"],
-        "pages": lo["pages"],
+        "sec_8": min(r[0] for r in rounds),
+        "sec_32": min(r[1] for r in rounds),
+        "urls_per_sec_8": max(r[2] for r in rounds),
+        "urls_per_sec_32": max(r[3] for r in rounds),
+        "pages": rounds[0][4],
+        "paired_rounds": [[r[0], r[1]] for r in rounds],
+        "paired_ratios": [round(x, 3) for x in ratios],
         "scaling_efficiency": round(eff, 3),
     }
 

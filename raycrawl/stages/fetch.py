@@ -42,7 +42,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..functions.urlnorm import canonicalize_batch
-from ..schemas import DOCUMENT_SCHEMA, FRONTIER_SCHEMA
+from ..schemas import DOCUMENT_SCHEMA, FRONTIER_SCHEMA, QUEUES as QUEUE_ORDER
 from .extract import extract_links, extract_text
 from .visitor import visit
 
@@ -258,13 +258,14 @@ class CrawlWorkerStage:
         self._offer_buf: dict[int, list[pa.Table]] = {}
         self._buf_rows: dict[int, int] = {}
         self._canon_cache: dict[str, tuple[str, bytes, str]] = {}
-        # cross-batch offer suppressor: digests this worker has already
-        # offered (zipf-hot links appear in EVERY batch; the shard would
-        # bounce them anyway, but serializing + shipping them costs
-        # worker CPU). Correctness-neutral — shard insert-if-absent is
-        # authoritative; this only removes guaranteed bounces. Capped to
-        # bound memory; clearing resets to at-least-once behavior.
-        self._offered_seen: set[bytes] = set()
+        # cross-batch offer suppressor: RAW link strings this worker
+        # has already offered (zipf-hot links appear in EVERY batch;
+        # the shard would bounce them anyway, but canonicalizing +
+        # serializing + shipping them costs worker CPU). Correctness-
+        # neutral — shard insert-if-absent is authoritative; this only
+        # removes guaranteed bounces. Capped to bound memory; clearing
+        # resets to at-least-once behavior.
+        self._offered_seen: set[str] = set()
         self.OFFERED_SEEN_CAP = 1 << 20
         self.timings = {"lookup": 0.0, "visit": 0.0, "cand": 0.0,
                         "write": 0.0, "out": 0.0, "n": 0}
@@ -416,30 +417,32 @@ class CrawlWorkerStage:
         self._buf_rows[sid] = 0
         if not tables:
             return
-        t = tables[0] if len(tables) == 1 else pa.concat_tables(tables)
-        if self.attenuate and len(tables) > 1:
-            # cross-batch attenuation: first occurrence per url_hash
-            seen: set[bytes] = set()
-            keep = [
-                i
-                for i, d in enumerate(t.column("url_hash").to_pylist())
-                if d not in seen and not seen.add(d)
-            ]
-            if len(keep) < t.num_rows:
-                t = t.take(pa.array(keep))
+        # combine_chunks before the RPC: buffered offers are many small
+        # per-batch tables, and Ray serializes chunk-by-chunk — one
+        # memcpy into a single chunk was measured much cheaper than
+        # serializing the fragments. No re-dedup here: _build_candidates
+        # already attenuates across batches (the _offered_seen
+        # suppressor), and shard insert-if-absent is authoritative.
+        t = (
+            tables[0]
+            if len(tables) == 1
+            else pa.concat_tables(tables).combine_chunks()
+        )
         self._pending_offers.append(self.shards[sid].offer.remote(t))
 
     def drain(self) -> int:
         """Barrier: flush buffered offers, wait for every in-flight
         offer/requeue of this worker, return the summed admitted count
         (requeues are at-least-once re-inserts, not admits)."""
+        early = getattr(self, "_drained_admits", 0)
+        self._drained_admits = 0
         for sid in list(self._offer_buf):
             self._flush_shard(sid)
         if not self._pending_offers and not self._pending_misc:
-            return 0
+            return early
         import ray
 
-        total = sum(ray.get(self._pending_offers))
+        total = early + sum(ray.get(self._pending_offers))
         if self._pending_misc:
             ray.get(self._pending_misc)
             self._pending_misc = []
@@ -566,12 +569,19 @@ class CrawlWorkerStage:
         self, children: list[tuple], depths: list[int]
     ) -> pa.Table:
         """children: (type, url, parent_urn, relation, parent_row)."""
-        urls = [c[1] for c in children]
-        # canonicalize_batch dedups within the batch; a worker-lifetime
-        # memo was tried and REGRESSED at scale (24 workers x millions
-        # of dict entries = GC pressure + hit rate falling as 1/pool) —
-        # the regex fast path makes recomputation cheaper than caching
-        norm, digests, hosts = canonicalize_batch(urls)
+        # Cross-batch attenuation FIRST, keyed on the RAW link string,
+        # so only novel links pay canonicalization at all: ~90% of
+        # discovered links at bench scale are repeats of zipf-hot
+        # targets with byte-identical hrefs, and canonicalize was the
+        # dominant term of this kernel. Raw-keyed dedup is
+        # correctness-neutral like the digest-keyed version it
+        # replaces: shard insert-if-absent stays authoritative, and
+        # distinct raw spellings of one canonical url (~variant_frac)
+        # simply reach the shard instead of being pre-deduped here.
+        # (A canonical-url memo was tried and REGRESSED at scale —
+        # 24 workers x millions of dict entries = GC pressure + hit
+        # rate falling as 1/pool; the suppressor set stores only the
+        # RAW string it already holds a reference to.)
         in_scope = self._in_scope
         if self.attenuate:  # in/cross-batch pre-dedup (attenuation, D1)
             if len(self._offered_seen) > self.OFFERED_SEEN_CAP:
@@ -579,19 +589,31 @@ class CrawlWorkerStage:
             seen = self._offered_seen
             keep = [
                 i
-                for i, d in enumerate(digests)
-                if in_scope(hosts[i])
-                and d not in seen
-                and not seen.add(d)
+                for i, c in enumerate(children)
+                if c[1] not in seen and not seen.add(c[1])
             ]
         else:
-            keep = [i for i in range(len(children)) if in_scope(hosts[i])]
+            keep = list(range(len(children)))
+        norm, digests, hosts = canonicalize_batch(
+            [children[i][1] for i in keep]
+        )
+        if self.scope_hosts:
+            kept = [
+                (j, i)
+                for j, i in enumerate(keep)
+                if in_scope(hosts[j])
+            ]
+            keep = [i for _, i in kept]
+            sel = [j for j, _ in kept]
+            norm = [norm[j] for j in sel]
+            digests = [digests[j] for j in sel]
+            hosts = [hosts[j] for j in sel]
         n = len(keep)
         return pa.Table.from_arrays(
             [
-                pa.array([norm[i] for i in keep], pa.string()),
-                pa.array([digests[i] for i in keep], pa.binary(20)),
-                pa.array([hosts[i] for i in keep], pa.string()),
+                pa.array(norm, pa.string()),
+                pa.array(digests, pa.binary(20)),
+                pa.array(hosts, pa.string()),
                 pa.array([children[i][0] for i in keep], pa.string()),
                 pa.array(["default"] * n, pa.string()),
                 pa.array([self.child_queue] * n, pa.string()),
@@ -809,6 +831,7 @@ class CrawlWorkerStage:
                     ),
                 ]
             )
+        _t45 = _t.perf_counter()
         if self.flush_each_batch and not self.blocking_offers:
             # flush only shards with a meaningful backlog — flushing all
             # shards every batch was measured at ~100 ms/batch of RPC
@@ -818,6 +841,7 @@ class CrawlWorkerStage:
                 if nbuf >= 512:
                     self._flush_shard(sid)
         _t5 = _t.perf_counter()
+        self.timings["fl"] = self.timings.get("fl", 0.0) + _t5 - _t45
         self.timings["lookup"] += _t1 - _t0
         self.timings["visit"] += _t2 - _t1
         self.timings["cand"] += _t3 - _t2

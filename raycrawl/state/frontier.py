@@ -61,6 +61,7 @@ class FrontierShardState:
         seen_fpr: float = 1e-3,
         state_dir: str | None = None,
         snapshot_id: str = "s0",
+        pending_cap: int | None = None,
     ) -> None:
         self.shard_id = shard_id
         self.num_shards = num_shards
@@ -70,13 +71,41 @@ class FrontierShardState:
         self._pending: dict[str, list[pa.Table]] = {q: [] for q in QUEUES}
         self._arrival = 0
         self._epoch_admitted: list[pa.Table] = []
-        self.metrics = {"push": 0, "bounce": 0, "repush": 0, "take": 0}
+        self.metrics = {
+            "push": 0, "bounce": 0, "repush": 0, "take": 0,
+            "spilled": 0, "unspilled": 0,
+        }
+        # -- spill (the 10^10-frontier memory bound) -----------------------
+        # When in-memory pending exceeds `pending_cap`, the COLDEST rows
+        # by the global priority order (depth, discovery_ts, seq) spill
+        # to Parquet under state_dir/spill/shard_<id>/ and reload
+        # hottest-file-first as the frontier drains. Set semantics are
+        # exact (identical seen set / documents — asserted by the spill
+        # crawl test); global ordering is preserved because BFS children
+        # are always colder (deeper) than anything already spilled, so
+        # in-memory rows outrank the spill at take time.
+        self.pending_cap = pending_cap
+        self._spill_seq = 0
+        # [(hotness key, path, per-queue counts, min_not_before)]
+        self._spill_files: list[tuple[tuple, str, dict[str, int], int]] = []
+        self._spilled_counts: dict[str, int] = {q: 0 for q in QUEUES}
 
     # -- ingest ------------------------------------------------------------
 
     def _append(self, table: pa.Table) -> int:
         """Stamp arrival sequence (FIFO tiebreak) and append to the
-        per-queue pending lists — all vectorized."""
+        per-queue pending RUNS — all vectorized.
+
+        Run invariant (the log-structured frontier): every table in
+        ``self._pending[q]`` is individually sorted by
+        (depth, discovery_ts, seq). Incoming batches are usually
+        already in that order (one BFS wave, equal depth/ts, ascending
+        seq) — detected with one vectorized pass — else sorted once at
+        append (B log B on the small batch). ``take`` then pops the
+        global head by merging only the run HEADS (O(q log q)), never
+        re-sorting the whole pending set: the earlier sort-per-take
+        design made the shard pool the crawl's bottleneck at high
+        take rates."""
         n = table.num_rows
         if n == 0:
             return 0
@@ -87,13 +116,41 @@ class FrontierShardState:
         stamped = table.append_column("seq", seq)
         queues = stamped.column("queue")
         uniq = pc.unique(queues).to_pylist()
-        if len(uniq) == 1:
-            self._pending.setdefault(uniq[0], []).append(stamped)
-        else:
-            for q in uniq:
-                sub = stamped.filter(pc.equal(queues, q))
-                self._pending.setdefault(q, []).append(sub)
+        subs = (
+            [(uniq[0], stamped)]
+            if len(uniq) == 1
+            else [
+                (q, stamped.filter(pc.equal(queues, q))) for q in uniq
+            ]
+        )
+        for q, sub in subs:
+            if not self._is_run_sorted(sub):
+                sub = sub.take(pc.sort_indices(sub, sort_keys=_SORT_KEYS))
+            runs = self._pending.setdefault(q, [])
+            runs.append(sub)
+            if len(runs) > 24:  # amortized compaction
+                merged = pa.concat_tables(runs).combine_chunks()
+                merged = merged.take(
+                    pc.sort_indices(merged, sort_keys=_SORT_KEYS)
+                )
+                self._pending[q] = [merged]
         return n
+
+    @staticmethod
+    def _is_run_sorted(t: pa.Table) -> bool:
+        if t.num_rows <= 1:
+            return True
+        d = t.column("depth").to_numpy(zero_copy_only=False)
+        ts = t.column("discovery_ts").to_numpy(zero_copy_only=False)
+        sq = t.column("seq").to_numpy(zero_copy_only=False)
+        ok = (d[1:] > d[:-1]) | (
+            (d[1:] == d[:-1])
+            & (
+                (ts[1:] > ts[:-1])
+                | ((ts[1:] == ts[:-1]) & (sq[1:] >= sq[:-1]))
+            )
+        )
+        return bool(ok.all())
 
     def offer(self, table: pa.Table) -> int:
         """Dedup-admit candidate rows (insert-if-absent on url_hash);
@@ -110,6 +167,7 @@ class FrontierShardState:
             atable = table.filter(pa.array(mask))
             self._epoch_admitted.append(atable)
             self._append(atable)
+            self._maybe_spill()
         return admitted
 
     def requeue(self, table: pa.Table) -> int:
@@ -118,7 +176,81 @@ class FrontierShardState:
         (providers/queuing/amqpQueue.js:134-144)."""
         n = self._append(table)
         self.metrics["repush"] += n
+        self._maybe_spill()
         return n
+
+    # -- spill -------------------------------------------------------------
+
+    def _mem_total(self) -> int:
+        return sum(t.num_rows for ts in self._pending.values() for t in ts)
+
+    def _maybe_spill(self) -> None:
+        cap = self.pending_cap
+        if cap is None or self.state_dir is None:
+            return
+        total = self._mem_total()
+        if total <= cap:
+            return
+        merged = pa.concat_tables(
+            [t for ts in self._pending.values() for t in ts]
+        ).combine_chunks()
+        order = pc.sort_indices(merged, sort_keys=_SORT_KEYS)
+        keep_n = cap // 2  # hysteresis: spill down to half the cap
+        hot = merged.take(order.slice(0, keep_n))
+        cold = merged.take(order.slice(keep_n))
+        self._pending = {q: [] for q in QUEUES}
+        queues = hot.column("queue")
+        for q in pc.unique(queues).to_pylist():
+            self._pending.setdefault(q, []).append(
+                hot.filter(pc.equal(queues, q))
+            )
+        spill_dir = os.path.join(
+            self.state_dir, "spill", f"shard_{self.shard_id}"
+        )
+        os.makedirs(spill_dir, exist_ok=True)
+        path = os.path.join(spill_dir, f"spill-{self._spill_seq:06d}.parquet")
+        self._spill_seq += 1
+        pq.write_table(cold, path + ".tmp")
+        os.replace(path + ".tmp", path)
+        ccounts: dict[str, int] = {}
+        cq = cold.column("queue")
+        for q in pc.unique(cq).to_pylist():
+            ccounts[q] = int(pc.sum(pc.equal(cq, q)).as_py())
+            self._spilled_counts[q] = (
+                self._spilled_counts.get(q, 0) + ccounts[q]
+            )
+        hotness = (
+            int(cold.column("depth")[0].as_py()),
+            int(cold.column("discovery_ts")[0].as_py()),
+        )
+        min_nb = int(pc.min(cold.column("not_before")).as_py())
+        self._spill_files.append((hotness, path, ccounts, min_nb))
+        self._spill_files.sort(key=lambda f: f[0])
+        self.metrics["spilled"] += cold.num_rows
+
+    def _unspill(self, queue: str, want: int) -> None:
+        """Reload hottest spill files until `queue` has `want` rows in
+        memory (or the spill is empty)."""
+        while self._spilled_counts.get(queue, 0) > 0:
+            have = sum(t.num_rows for t in self._pending.get(queue, []))
+            if have >= want:
+                return
+            # hottest file containing rows of this queue
+            idx = next(
+                i
+                for i, f in enumerate(self._spill_files)
+                if f[2].get(queue, 0) > 0
+            )
+            _, path, ccounts, _ = self._spill_files.pop(idx)
+            table = pq.read_table(path)
+            os.remove(path)
+            queues = table.column("queue")
+            for q in pc.unique(queues).to_pylist():
+                sub = table.filter(pc.equal(queues, q))
+                self._pending.setdefault(q, []).append(sub)
+            for q, n in ccounts.items():
+                self._spilled_counts[q] = self._spilled_counts.get(q, 0) - n
+            self.metrics["unspilled"] += table.num_rows
 
     def mark_seen(self, digests: list[bytes]) -> int:
         """Resume replay: record keys as seen without enqueueing."""
@@ -127,19 +259,10 @@ class FrontierShardState:
 
     # -- scheduling --------------------------------------------------------
 
-    def _queue_table(self, queue: str) -> pa.Table | None:
-        tables = self._pending.get(queue)
-        if not tables:
-            return None
-        if len(tables) > 1:
-            merged = pa.concat_tables(tables).combine_chunks()
-            self._pending[queue] = [merged]
-            return merged
-        return tables[0]
-
     def counts(self) -> dict[str, int]:
         return {
-            q: sum(t.num_rows for t in ts) for q, ts in self._pending.items()
+            q: sum(t.num_rows for t in ts) + self._spilled_counts.get(q, 0)
+            for q, ts in self._pending.items()
         }
 
     def min_not_before(self) -> int | None:
@@ -153,48 +276,159 @@ class FrontierShardState:
                 m = pc.min(t.column("not_before")).as_py()
                 if m is not None and (best is None or m < best):
                     best = m
+        for _, _, _, min_nb in self._spill_files:
+            if best is None or min_nb < best:
+                best = min_nb
         return best
 
     def take(self, quotas: dict[str, int], now_us: int) -> pa.Table:
         """Pop up to quotas[q] eligible rows (not_before <= now) per
         queue in priority order (depth, discovery_ts, seq); ineligible
-        rows are retained. Fully vectorized."""
+        rows are retained. Exact top-q via the run invariant: the
+        global head lies within the per-run quota-length head prefixes,
+        so only O(runs x quota) key rows are merged per take — the
+        whole pending set is never re-sorted. The slow exact path runs
+        only when some pending row is deferred into the future."""
         out: list[pa.Table] = []
         for queue, quota in quotas.items():
             if quota <= 0:
                 continue
-            tbl = self._queue_table(queue)
-            if tbl is None or tbl.num_rows == 0:
+            if self._spilled_counts.get(queue, 0) > 0:
+                # reload until the quota is coverable by ELIGIBLE rows
+                # (in-memory rows can be deferred while spilled ones are
+                # eligible) or the spill is empty
+                want = quota
+                while True:
+                    self._unspill(queue, want)
+                    runs = self._pending.get(queue, [])
+                    total = sum(t.num_rows for t in runs)
+                    if total == 0:
+                        break
+                    n_elig = sum(
+                        int(
+                            pc.sum(
+                                pc.less_equal(
+                                    t.column("not_before"), now_us
+                                )
+                            ).as_py()
+                            or 0
+                        )
+                        for t in runs
+                    )
+                    if (
+                        n_elig >= quota
+                        or self._spilled_counts.get(queue, 0) <= 0
+                    ):
+                        break
+                    want = total + quota
+            runs = self._pending.get(queue, [])
+            if not runs or sum(t.num_rows for t in runs) == 0:
                 continue
-            elig_mask = pc.less_equal(tbl.column("not_before"), now_us)
-            n_elig = int(pc.sum(elig_mask).as_py() or 0)
-            if n_elig == 0:
-                continue
-            elig = tbl.filter(elig_mask)
-            inelig = tbl.filter(pc.invert(elig_mask))
-            order = pc.sort_indices(elig, sort_keys=_SORT_KEYS)
-            k = min(quota, n_elig)
-            taken = elig.take(order.slice(0, k))
-            rest = elig.take(order.slice(k))
-            keep = (
-                pa.concat_tables([rest, inelig])
-                if inelig.num_rows
-                else rest
+            all_eligible = all(
+                (pc.max(t.column("not_before")).as_py() or 0) <= now_us
+                for t in runs
             )
-            self._pending[queue] = [keep] if keep.num_rows else []
-            out.append(taken)
+            taken = (
+                self._take_fast(queue, quota)
+                if all_eligible
+                else self._take_exact(queue, quota, now_us)
+            )
+            if taken.num_rows:
+                out.append(taken)
         if not out:
             return FRONTIER_SCHEMA.empty_table()
         result = pa.concat_tables(out).select(FRONTIER_SCHEMA.names)
         self.metrics["take"] += result.num_rows
         return result
 
+    def _take_fast(self, queue: str, quota: int) -> pa.Table:
+        """Pop the exact global top-`quota` when every row is eligible:
+        merge only the run heads (numpy lexsort over <= runs x quota
+        key rows), then slice each run — O(1) per run, no full sort."""
+        runs = self._pending[queue]
+        if len(runs) == 1:
+            t = runs[0]
+            k = min(quota, t.num_rows)
+            self._pending[queue] = [t.slice(k)] if k < t.num_rows else []
+            return t.slice(0, k)
+        ds, tss, sqs, rids = [], [], [], []
+        for ri, t in enumerate(runs):
+            h = min(quota, t.num_rows)
+            head = t.slice(0, h)
+            ds.append(head.column("depth").to_numpy(zero_copy_only=False))
+            tss.append(
+                head.column("discovery_ts").to_numpy(zero_copy_only=False)
+            )
+            sqs.append(head.column("seq").to_numpy(zero_copy_only=False))
+            rids.append(np.full(h, ri, dtype=np.int64))
+        rid = np.concatenate(rids)
+        order = np.lexsort(
+            (np.concatenate(sqs), np.concatenate(tss), np.concatenate(ds))
+        )[:quota]
+        cnt = np.bincount(rid[order], minlength=len(runs))
+        parts: list[pa.Table] = []
+        rest: list[pa.Table] = []
+        for t, c in zip(runs, cnt):
+            c = int(c)
+            if c:
+                parts.append(t.slice(0, c))
+            if c < t.num_rows:
+                rest.append(t.slice(c))
+        self._pending[queue] = rest
+        taken = parts[0] if len(parts) == 1 else pa.concat_tables(parts)
+        if len(parts) > 1:  # restore exact global order of the result
+            taken = taken.take(
+                pc.sort_indices(taken, sort_keys=_SORT_KEYS)
+            )
+        return taken
+
+    def _take_exact(
+        self, queue: str, quota: int, now_us: int
+    ) -> pa.Table:
+        """Eligibility-aware path (some rows deferred): merge, filter,
+        full sort — and store the remainder back as ONE sorted run."""
+        runs = self._pending[queue]
+        tbl = runs[0] if len(runs) == 1 else pa.concat_tables(runs)
+        elig_mask = pc.less_equal(tbl.column("not_before"), now_us)
+        n_elig = int(pc.sum(elig_mask).as_py() or 0)
+        if n_elig == 0:
+            return FRONTIER_SCHEMA.empty_table()
+        elig = tbl.filter(elig_mask)
+        inelig = tbl.filter(pc.invert(elig_mask))
+        order = pc.sort_indices(elig, sort_keys=_SORT_KEYS)
+        k = min(quota, n_elig)
+        taken = elig.take(order.slice(0, k))
+        rest = elig.take(order.slice(k))
+        keep = (
+            pa.concat_tables([rest, inelig]) if inelig.num_rows else rest
+        )
+        if inelig.num_rows and keep.num_rows > 1:
+            keep = keep.take(pc.sort_indices(keep, sort_keys=_SORT_KEYS))
+        self._pending[queue] = [keep] if keep.num_rows else []
+        return taken
+
     def take_with_counts(
-        self, quotas: dict[str, int], now_us: int
+        self, quotas: dict[str, int], now_us: int, min_rows: int = 0
     ) -> dict[str, Any]:
         """take() plus post-take pending counts in ONE round trip — the
         pull executor's refill path; a separate counts() RPC round per
-        refill was a measured driver bottleneck."""
+        refill was a measured driver bottleneck. ``min_rows``: skip the
+        take entirely (O(1) count check, no sort) unless at least that
+        many rows are pending in the requested queues — lets pull
+        workers batch their takes instead of draining crumbs, cutting
+        the per-take O(P log P) priority sort from ~1 per 100 rows to
+        ~1 per chunk."""
+        if quotas and min_rows > 0:
+            avail = sum(
+                sum(t.num_rows for t in self._pending.get(q, []))
+                + self._spilled_counts.get(q, 0)
+                for q in quotas
+            )
+            if avail < min_rows:
+                return {
+                    "table": FRONTIER_SCHEMA.empty_table(),
+                    "counts": self.counts(),
+                }
         return {
             "table": self.take(quotas, now_us) if quotas else
             FRONTIER_SCHEMA.empty_table(),
@@ -253,9 +487,7 @@ class FrontierShardState:
         return self.seen.digest()
 
     def pending_total(self) -> int:
-        return sum(
-            t.num_rows for ts in self._pending.values() for t in ts
-        )
+        return self._mem_total() + sum(self._spilled_counts.values())
 
 
 def create_shards(
@@ -266,6 +498,7 @@ def create_shards(
     seen_fpr: float = 1e-3,
     state_dir: str | None = None,
     snapshot_id: str = "s0",
+    pending_cap: int | None = None,
 ):
     """Spawn the shard actor pool (num_cpus=0 — shards are bookkeeping
     actors that must coexist with the fetch/extract worker pool)."""
@@ -281,6 +514,7 @@ def create_shards(
             seen_fpr=seen_fpr,
             state_dir=state_dir,
             snapshot_id=snapshot_id,
+            pending_cap=pending_cap,
         )
         for i in range(num_shards)
     ]

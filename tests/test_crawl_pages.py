@@ -313,3 +313,34 @@ def test_pull_rejects_binding_politeness(corpus, tmp_path, ray_session):
     )
     with pytest.raises(ValueError, match="politeness"):
         CrawlEngine(corpus, cfg).run(seeds=default_seeds(1))
+
+
+def test_frontier_spill_same_result(corpus, oracle, tmp_path):
+    """Frontier spill: with a tiny per-shard pending cap the coldest
+    runs spill to Parquet and reload as the frontier drains; the crawl
+    produces the identical seen set / documents / deadletters."""
+    _, base = _run(corpus, tmp_path / "a")
+    _, spilled = _run(corpus, tmp_path / "b", pending_cap=8)
+    _check_against_oracle(corpus, spilled, oracle)
+    assert spilled.seen_digest == base.seen_digest
+    assert spilled.docs_written == base.docs_written
+    # the cap actually forced spill round-trips
+    eng_metrics = spilled.metrics.to_pylist()
+    spill_rows = [m for m in eng_metrics if m["name"] == "spilled"]
+    assert sum(m["value"] for m in spill_rows) > 0
+
+
+def test_frontier_spill_ray_same_result(corpus, oracle, tmp_path, ray_session):
+    cfg = CrawlConfig(
+        state_dir=str(tmp_path / "state"),
+        mode="ray",
+        ray_exec="actors",
+        num_shards=3,
+        epoch_budget=50,
+        fetch_concurrency=2,
+        pending_cap=8,
+    )
+    engine = CrawlEngine(corpus, cfg)
+    result = engine.run(seeds=default_seeds(2))
+    _check_against_oracle(corpus, result, oracle)
+    engine.close()
