@@ -66,8 +66,14 @@ def make_pages_corpus(
     dangling_frac: float = 0.04,
     variant_frac: float = 0.10,
     paragraphs: int = 3,
+    robots: dict[str, str] | None = None,
 ) -> pa.Table:
-    """Build the deterministic pages table (see module docstring)."""
+    """Build the deterministic pages table (see module docstring).
+
+    ``robots``: optional {host: robots.txt text} — each entry adds a
+    ``http://<host>/robots.txt`` row to the corpus so the engine's
+    robots ingestion (CrawlConfig.respect_robots) has something real
+    to fetch and parse."""
     rng = np.random.default_rng(seed)
     n = num_hosts * pages_per_host
     # zipf-ish host popularity: weight ~ 1/(rank+1)
@@ -115,6 +121,14 @@ def make_pages_corpus(
             texts.append(extract_text(html))
             langs.append(_LANGS[idx % len(_LANGS)])
             idx += 1
+
+    for host, body in (robots or {}).items():
+        urls.append(f"http://{host}/robots.txt")
+        tss.append(BASE_TS_US + idx * 1_000_000)
+        htmls.append(body.encode("utf-8"))
+        texts.append(body)
+        langs.append("en")
+        idx += 1
 
     return pa.table(
         {

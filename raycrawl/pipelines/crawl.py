@@ -110,6 +110,12 @@ class CrawlConfig:
     compute_limit_ms: float = 0.0
     compute_window_sec: float = 15.0
     compute_bytes_per_ms: float = 1000.0
+    # T7/T8 robots half: ingest http://<host>/robots.txt pages from the
+    # corpus at engine construction — Crawl-delay throttles the host's
+    # politeness allowance, Disallow prefixes drop discovered links in
+    # the candidate path (never fetched). Requires epoch mode when any
+    # crawl-delay exists (exact politeness windows).
+    respect_robots: bool = False
     # T7/T8 multi-identity fetch pool (reference tokenFactory.js:6-29,
     # limitedTokenFactory.js:19-51; caps at lib/crawlerFactory.js:68-69):
     # spec string "value#trait1,trait2;value2#..."; each worker gets its
@@ -123,6 +129,10 @@ class CrawlConfig:
     # thrashing L1/L2 at high worker counts; driver/shards float on the
     # process affinity mask and settle on the remaining cores
     pin_workers: bool = False
+    # reserve the first N cores for the driver + shard actors: workers
+    # restrict their affinity to the remaining cores so frontier RPCs
+    # are not starved by compute-bound workers. 0 = off.
+    reserve_cores: int = 0
     snapshot_id: str = "s0"
     base_ts_us: int = BASE_TS_US + 86_400_000_000  # crawl clock: corpus ts + 1d
 
@@ -207,6 +217,21 @@ class CrawlEngine:
             epoch_seconds=cfg.epoch_seconds,
             defer_delay_sec=cfg.defer_delay_sec,
         )
+        self.robots_disallow: dict[str, tuple[str, ...]] = {}
+        if cfg.respect_robots:
+            from ..state.politeness import parse_robots
+
+            mask = pc.ends_with(corpus.column("url"), "/robots.txt")
+            rows = corpus.filter(mask)
+            for url, body in zip(
+                rows.column("url").to_pylist(),
+                rows.column("html").to_pylist(),
+            ):
+                host = url.split("://", 1)[1].split("/", 1)[0].lower()
+                rules = parse_robots(body.decode("utf-8", "replace"))
+                self.politeness.robots[host] = rules
+                if rules.disallow:
+                    self.robots_disallow[host] = rules.disallow
         self.compute_budget = None
         self._benched_hosts: dict[str, int] = {}  # host -> bench_until_us
         if cfg.compute_limit_ms > 0:
@@ -271,6 +296,7 @@ class CrawlEngine:
                 # cluster has — a pool larger than the CPU count leaves
                 # actors pending forever and the epoch barrier deadlocks
                 total_cpus = int(ray.cluster_resources().get("CPU", 1))
+                self._total_cpus = total_cpus
                 n_workers = max(1, min(cfg.fetch_concurrency, total_cpus))
                 self.workers = [
                     self._spawn_worker(wi) for wi in range(n_workers)
@@ -311,6 +337,7 @@ class CrawlEngine:
                 dead_dir=self.dead_dir,
                 fetcher_cls=cfg.fetcher_cls,
                 scope_hosts=cfg.scope_hosts,
+                robots_disallow=self.robots_disallow,
                 track_host_cost=cfg.compute_limit_ms > 0,
                 token_specs=cfg.token_specs,
                 token_call_cap=cfg.token_call_cap,
@@ -325,6 +352,13 @@ class CrawlEngine:
         import ray
 
         cfg = self.cfg
+        pin = wi if cfg.pin_workers else None
+        if pin is None and cfg.reserve_cores > 0:
+            total = getattr(self, "_total_cpus", None) or int(
+                ray.cluster_resources().get("CPU", 1)
+            )
+            if total > cfg.reserve_cores + 1:
+                pin = tuple(range(cfg.reserve_cores, total))
         worker_cls = ray.remote(num_cpus=1)(CrawlWorkerStage)
         return worker_cls.remote(
             self.corpus_ref,
@@ -340,8 +374,9 @@ class CrawlEngine:
             dead_dir=self.dead_dir,
             fetcher_cls=cfg.fetcher_cls,
             scope_hosts=cfg.scope_hosts,
+            robots_disallow=self.robots_disallow,
             track_host_cost=cfg.compute_limit_ms > 0,
-            pin_cpu=(wi if cfg.pin_workers else None),
+            pin_cpu=pin,
             token_specs=cfg.token_specs,
             token_call_cap=cfg.token_call_cap,
             token_call_window_sec=cfg.token_call_window_sec,

@@ -171,6 +171,7 @@ class CrawlWorkerStage:
         dead_dir: str | None = None,
         fetcher_cls: type | None = None,
         scope_hosts: tuple[str, ...] = (),
+        robots_disallow: dict | None = None,
         track_host_cost: bool = False,
         pin_cpu: int | None = None,
         token_specs=None,
@@ -180,13 +181,17 @@ class CrawlWorkerStage:
         token_seed: int = 0,
     ) -> None:
         if pin_cpu is not None:
-            # pin this actor to one core: OS migrations between cores
-            # cost L1/L2 refills every slice — measured as part of a
-            # 1.3x per-url kernel inflation at 24 workers vs 6. The
-            # driver/shards/raylet float on the full affinity mask and
-            # settle on the unpinned cores.
+            # int: pin this actor to one core. tuple: restrict to a
+            # core SET (the engine's reserve_cores policy — workers
+            # vacate the first cores so the shard actors + driver get
+            # dedicated CPU instead of competing with 30 compute-bound
+            # workers for timeslices; shard RPC latency under load was
+            # measured at ~10 ms when starved).
             try:
-                os.sched_setaffinity(0, {pin_cpu})
+                cores = (
+                    {pin_cpu} if isinstance(pin_cpu, int) else set(pin_cpu)
+                )
+                os.sched_setaffinity(0, cores)
             except (AttributeError, OSError):  # pragma: no cover
                 pass
         try:
@@ -228,6 +233,10 @@ class CrawlWorkerStage:
         # the allowed hosts are dropped before attenuation/offer.
         self.scope_hosts = tuple(h.lower() for h in scope_hosts)
         self._scope_memo: dict[str, bool] = {}
+        # robots Disallow prefixes per host (T7/T8 robots half): a
+        # discovered link whose path matches a prefix is dropped in the
+        # candidate path — never offered, never fetched.
+        self.robots_disallow: dict = dict(robots_disallow or {})
         # T6: when set, each batch's result carries one HOSTCOST_TYPE
         # row per host with the bytes fetched (discovery_ts column) so
         # the engine can charge the ComputeBudget without shipping
@@ -597,12 +606,23 @@ class CrawlWorkerStage:
         norm, digests, hosts = canonicalize_batch(
             [children[i][1] for i in keep]
         )
-        if self.scope_hosts:
-            kept = [
-                (j, i)
-                for j, i in enumerate(keep)
-                if in_scope(hosts[j])
-            ]
+        if self.scope_hosts or self.robots_disallow:
+            disallow = self.robots_disallow
+
+            def admitted(j: int) -> bool:
+                host = hosts[j]
+                if not in_scope(host):
+                    return False
+                rules = disallow.get(host)
+                if rules:
+                    u = norm[j]
+                    slash = u.find("/", u.find("://") + 3)
+                    path = u[slash:] if slash >= 0 else "/"
+                    if any(path.startswith(pfx) for pfx in rules):
+                        return False
+                return True
+
+            kept = [(j, i) for j, i in enumerate(keep) if admitted(j)]
             keep = [i for _, i in kept]
             sel = [j for j, _ in kept]
             norm = [norm[j] for j in sel]
@@ -838,7 +858,7 @@ class CrawlWorkerStage:
             # serialization; small residues land at the next threshold
             # crossing or at drain()
             for sid, nbuf in list(self._buf_rows.items()):
-                if nbuf >= 512:
+                if nbuf >= 2048:
                     self._flush_shard(sid)
         _t5 = _t.perf_counter()
         self.timings["fl"] = self.timings.get("fl", 0.0) + _t5 - _t45

@@ -344,3 +344,82 @@ def test_frontier_spill_ray_same_result(corpus, oracle, tmp_path, ray_session):
     result = engine.run(seeds=default_seeds(2))
     _check_against_oracle(corpus, result, oracle)
     engine.close()
+
+
+def test_robots_ingestion_disallow_and_crawl_delay(corpus, tmp_path):
+    """T7/T8 robots half: robots.txt pages in the corpus are ingested at
+    engine construction; Disallow prefixes are never crawled (and the
+    pages behind them become unreachable unless reachable otherwise);
+    Crawl-delay throttles the host's allowance (deferrals happen)."""
+    from raycrawl.corpus import make_pages_corpus
+    from raycrawl.functions.urlnorm import rfc3986_normalize
+
+    robots = {
+        "host0.example.com": "User-agent: *\nDisallow: /p/1\n",
+        "host1.example.com": "User-agent: *\nCrawl-delay: 0.2\n",
+    }
+    rcorpus = make_pages_corpus(
+        num_hosts=6, pages_per_host=20, seed=42, robots=robots
+    )
+
+    def blocked(u):
+        c = rfc3986_normalize(u)
+        host = c.split("://")[1].split("/")[0]
+        path = c[c.index("/", c.index("://") + 3):]
+        rules = robots.get(host)
+        if not rules:
+            return False
+        return any(
+            path.startswith(line.split(":", 1)[1].strip())
+            for line in rules.splitlines()
+            if line.lower().startswith("disallow")
+        )
+
+    # oracle: BFS that never follows blocked links (seeds exempt)
+    pages = {
+        rfc3986_normalize(u): h
+        for u, h in zip(
+            rcorpus.column("url").to_pylist(),
+            rcorpus.column("html").to_pylist(),
+        )
+    }
+    frontier = [rfc3986_normalize(s["url"]) for s in default_seeds(2)]
+    seen, reachable, dangling = set(frontier), set(), set()
+    while frontier:
+        nxt = []
+        for u in frontier:
+            if u not in pages:
+                dangling.add(u)
+                continue
+            reachable.add(u)
+            for link in extract_links(pages[u], u):
+                c = rfc3986_normalize(link)
+                if c not in seen and not blocked(c):
+                    seen.add(c)
+                    nxt.append(c)
+        frontier = nxt
+
+    cfg = CrawlConfig(
+        state_dir=str(tmp_path / "state"),
+        mode="local",
+        num_shards=3,
+        epoch_budget=50,
+        respect_robots=True,
+    )
+    engine = CrawlEngine(rcorpus, cfg)
+    assert "host0.example.com" in engine.robots_disallow
+    assert engine.politeness.robots["host1.example.com"].crawl_delay == 0.2
+    result = engine.run(seeds=default_seeds(2))
+    got = set(result.documents_table().column("url").to_pylist())
+    assert got == reachable
+    # disallowed pages really pruned vs the robots-free crawl
+    assert any(u.startswith("http://host0.example.com/p/1") for u in
+               bfs_oracle(rcorpus, default_seeds(2))[0])
+    assert not any(
+        u.startswith("http://host0.example.com/p/1") for u in got
+    )
+    # crawl-delay host actually deferred work
+    defer = sum(
+        m["value"] for m in result.metrics.to_pylist() if m["name"] == "defer"
+    )
+    assert defer > 0
