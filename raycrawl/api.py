@@ -165,9 +165,60 @@ def doc_list(state_dir: str, urn_prefix: str = "", limit: int = 10_000) -> pa.Ta
     return pa.concat_tables(out)
 
 
+def latest_documents_dataset(state_dir: str):
+    """D3 last-write-wins compaction as a streaming Ray Data pipeline —
+    the 100-TB path (the driver-side ``latest_documents`` below is the
+    small-result admin variant). Hash-partition by urn, then ONE
+    vectorized sort + first-of-run kernel per partition; no per-key
+    Python, no driver materialization."""
+    import zlib
+
+    import numpy as np
+    import ray.data
+
+    parts = 32
+
+    def add_part(t: pa.Table) -> pa.Table:
+        urns = t.column("urn").to_pylist()
+        uniq = {}
+        out = np.empty(len(urns), dtype=np.int64)
+        for i, u in enumerate(urns):
+            p = uniq.get(u)
+            if p is None:
+                p = zlib.crc32(u.encode("utf-8")) % parts
+                uniq[u] = p
+            out[i] = p
+        return t.append_column("part", pa.array(out, pa.int64()))
+
+    def last_per_urn(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            t,
+            sort_keys=[("urn", "ascending"), ("processed_at", "descending")],
+        )
+        t = t.take(order)
+        urns = t.column("urn").combine_chunks()
+        if len(urns) <= 1:
+            return t.drop_columns(["part"])
+        import numpy as np
+
+        neq = pc.not_equal(urns.slice(1), urns.slice(0, len(urns) - 1))
+        keep = np.concatenate(
+            ([True], neq.to_numpy(zero_copy_only=False))
+        )
+        return t.filter(pa.array(keep)).drop_columns(["part"])
+
+    ds = ray.data.read_parquet(os.path.join(state_dir, "documents"))
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(last_per_urn, batch_format="pyarrow")
+    )
+
+
 def latest_documents(state_dir: str) -> pa.Table:
     """D3 last-write-wins compaction: one row per urn, max processed_at
-    (re-crawl upsert semantics, mongodocstore.js:25-32)."""
+    (re-crawl upsert semantics, mongodocstore.js:25-32). Driver-side
+    admin variant — use ``latest_documents_dataset`` at scale."""
     files = _docs_files(state_dir)
     if not files:
         from .schemas import DOCUMENT_SCHEMA

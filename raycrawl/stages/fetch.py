@@ -577,7 +577,8 @@ class CrawlWorkerStage:
     def _build_candidates(
         self, children: list[tuple], depths: list[int]
     ) -> pa.Table:
-        """children: (type, url, parent_urn, relation, parent_row)."""
+        """children: (type, url, parent_urn, relation, parent_row,
+        parent_policy) — children inherit the parent's policy (X4)."""
         # Cross-batch attenuation FIRST, keyed on the RAW link string,
         # so only novel links pay canonicalization at all: ~90% of
         # discovered links at bench scale are repeats of zipf-hot
@@ -635,7 +636,7 @@ class CrawlWorkerStage:
                 pa.array(digests, pa.binary(20)),
                 pa.array(hosts, pa.string()),
                 pa.array([children[i][0] for i in keep], pa.string()),
-                pa.array(["default"] * n, pa.string()),
+                pa.array([children[i][5] for i in keep], pa.string()),
                 pa.array([self.child_queue] * n, pa.string()),
                 pa.array([depths[children[i][4]] + 1 for i in keep], pa.int32()),
                 pa.array([self.now_us] * n, pa.int64()),
@@ -695,6 +696,7 @@ class CrawlWorkerStage:
         statuses = np.full(len(urls), 404, dtype=np.int32)
         doc_rows: dict[str, list] = defaultdict(list)
         children: list[tuple] = []
+        policies = batch.column("policy").to_pylist()
         row_hosts = (
             batch.column("url_host").to_pylist()
             if self.track_host_cost
@@ -713,6 +715,20 @@ class CrawlWorkerStage:
             if payload_etags[i] and payload_etags[i] == etag:
                 statuses[i] = 304  # unchanged — skip reprocess
                 continue
+            # X4 traversal policy (reference policy.getShortForm(),
+            # routes/requests.js:79; the policy table maps to
+            # depth/scope rules per SURVEY §2.10): 'default' follows
+            # links; 'shallow' stores the document and queues NO
+            # children; 'depth:K' queues children only while the
+            # child's depth stays <= K. Children INHERIT the parent
+            # policy, so a depth:K seed bounds its whole subtree.
+            policy = policies[i]
+            expand = True
+            if policy != "default":
+                if policy == "shallow":
+                    expand = False
+                elif policy.startswith("depth:"):
+                    expand = depths[i] + 1 <= int(policy[6:])
             if types[i] in ("page", "event_trigger"):
                 # inlined page visit (the dominant type): same
                 # semantics as stages/visitor.visit but no dataclass
@@ -722,12 +738,12 @@ class CrawlWorkerStage:
                 # Measured: the dataclass + re-hash overhead was ~15%
                 # of the visit kernel.
                 text = extract_text(body)
-                links = extract_links(body, urls[i])
+                links = extract_links(body, urls[i]) if expand else []
                 urn = "urn:page:" + url_hashes[i].hex()
                 doc_text, doc_body, doc_type = text, "", "page"
                 n_children = len(links)
                 for link in links:
-                    children.append(("page", link, urn, "links", i))
+                    children.append(("page", link, urn, "links", i, policy))
             else:
                 result = visit(
                     types[i], urls[i], body,
@@ -737,10 +753,12 @@ class CrawlWorkerStage:
                 urn = result.urn
                 doc_text, doc_body = result.text, result.body
                 doc_type = result.doc_type
-                n_children = len(result.children)
-                for ch in result.children:
+                kids = result.children if expand else []
+                n_children = len(kids)
+                for ch in kids:
                     children.append(
-                        (ch.type, ch.url, ch.parent_urn, ch.relation, i)
+                        (ch.type, ch.url, ch.parent_urn, ch.relation, i,
+                         policy)
                     )
             statuses[i] = 200
             doc_rows["urn"].append(urn)

@@ -94,3 +94,23 @@ def test_latest_documents_upsert(tmp_path):
     assert latest.num_rows == result.docs_written  # already unique per urn
     urns = latest.column("urn").to_pylist()
     assert len(set(urns)) == len(urns)
+
+
+def test_latest_documents_dataset_matches_driver_path(tmp_path, ray_session):
+    """The streaming compaction returns the same (urn, processed_at,
+    etag) set as the driver-side admin variant."""
+    import pandas as pd
+
+    corpus, engine = _engine(tmp_path)
+    engine.run(seeds=default_seeds(2))
+    want = (
+        api.latest_documents(engine.cfg.state_dir)
+        .select(["urn", "processed_at", "etag"]).to_pandas()
+        .sort_values("urn").reset_index(drop=True)
+    )
+    got = (
+        api.latest_documents_dataset(engine.cfg.state_dir)
+        .to_pandas()[["urn", "processed_at", "etag"]]
+        .sort_values("urn").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)

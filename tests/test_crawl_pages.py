@@ -423,3 +423,57 @@ def test_robots_ingestion_disallow_and_crawl_delay(corpus, tmp_path):
         m["value"] for m in result.metrics.to_pylist() if m["name"] == "defer"
     )
     assert defer > 0
+
+
+def test_traversal_policy_shallow_and_depth(corpus, tmp_path):
+    """X4 traversal policies: 'shallow' stores only the seeds (no child
+    expansion); 'depth:K' truncates each seed's subtree at depth K with
+    children inheriting the policy."""
+    seeds = [
+        {**s, "policy": "shallow"} for s in default_seeds(2)
+    ]
+    cfg = CrawlConfig(
+        state_dir=str(tmp_path / "shallow"), mode="local", num_shards=2
+    )
+    result = CrawlEngine(corpus, cfg).run(seeds=seeds)
+    docs = result.documents_table()
+    assert set(docs.column("url").to_pylist()) == {
+        rfc3986_normalize(s["url"]) for s in seeds
+    }
+
+    # depth-bounded BFS oracle
+    K = 2
+    pages = {
+        rfc3986_normalize(u): h
+        for u, h in zip(
+            corpus.column("url").to_pylist(),
+            corpus.column("html").to_pylist(),
+        )
+    }
+    frontier = [(rfc3986_normalize(s["url"]), 0) for s in default_seeds(2)]
+    seen = {u for u, _ in frontier}
+    reachable = set()
+    while frontier:
+        nxt = []
+        for u, d in frontier:
+            if u not in pages:
+                continue
+            reachable.add(u)
+            if d + 1 > K:
+                continue
+            for link in extract_links(pages[u], u):
+                c = rfc3986_normalize(link)
+                if c not in seen:
+                    seen.add(c)
+                    nxt.append((c, d + 1))
+        frontier = nxt
+
+    seeds_k = [{**s, "policy": f"depth:{K}"} for s in default_seeds(2)]
+    cfg2 = CrawlConfig(
+        state_dir=str(tmp_path / "depthk"), mode="local", num_shards=2
+    )
+    result2 = CrawlEngine(corpus, cfg2).run(seeds=seeds_k)
+    got = set(result2.documents_table().column("url").to_pylist())
+    assert got == reachable
+    full, _ = bfs_oracle(corpus, default_seeds(2))
+    assert len(got) < len(full)  # the bound actually truncated
