@@ -19,14 +19,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-from ..functions.textstats import (
-    PUNCT_REGEX,
-    TOKEN_REGEX,
-    TOKEN_REGEX_SQL,
-    langid,
-    quality_score,
-)
-
 QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 

@@ -19,9 +19,7 @@ import pyarrow.parquet as pq
 
 from ..functions.dedup import (
     MinHasher,
-    char_ngrams,
     est_jaccard,
-    jaccard,
     shingles,
     simhash64,
 )
