@@ -176,45 +176,44 @@ def run_bench() -> dict:
     }
 
 
-def run_scaling() -> dict:
-    """Paired-sample scaling measurement. This VM shows ±25-60%
-    run-to-run host-steal noise (a single steal burst can double the
-    short 32-CPU run), which is partially COMMON-MODE across runs that
-    execute close together. Protocol: each round runs the 8-CPU and
-    32-CPU configs back-to-back in fresh processes, each side
-    best-of-2 (the round-1 discipline), and efficiency is the MEDIAN
-    of per-round (t8/t32)/4 ratios — robust to a burst poisoning one
-    round. Throughputs reported are each side's overall best."""
-    ensure_corpus()  # generate once so every run measures compute only
+def _run_child(ncpu: int) -> dict:
+    env = dict(
+        os.environ,
+        RAY_GRAFT_CPUS=str(ncpu),
+        GRAFT_BENCH_CRAWL_ONLY="1",
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
 
-    def run(ncpu: int) -> dict:
-        env = dict(
-            os.environ,
-            RAY_GRAFT_CPUS=str(ncpu),
-            GRAFT_BENCH_CRAWL_ONLY="1",
-        )
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
 
+def run_pair(scale_lo: int, scale_hi: int, rounds_n: int = 3) -> dict:
+    """Paired-sample scaling measurement for one (lo, hi) CPU pair.
+    This VM shows ±25-60% run-to-run host-steal noise (a single steal
+    burst can double the short 32-CPU run), which is partially
+    COMMON-MODE across runs that execute close together. Protocol:
+    each round runs the lo and hi configs back-to-back in fresh
+    processes, each side best-of-2 (the round-1 discipline), and
+    efficiency is the MEDIAN of per-round (t_lo/t_hi)/(hi/lo) ratios —
+    robust to a burst poisoning one round. Throughputs reported are
+    each side's overall best."""
     rounds = []
-    for _ in range(3):
-        lo, hi = run(SCALE_LO), run(SCALE_HI)
+    for _ in range(rounds_n):
+        lo, hi = _run_child(scale_lo), _run_child(scale_hi)
         rounds.append((lo["value"], hi["value"], lo["urls_per_sec"],
                        hi["urls_per_sec"], lo["pages"]))
     ratios = sorted(
-        (l / h) / (SCALE_HI / SCALE_LO) for l, h, _, _, _ in rounds
+        (l / h) / (scale_hi / scale_lo) for l, h, _, _, _ in rounds
     )
     eff = ratios[len(ratios) // 2]
     return {
-        "metric": f"scaling_efficiency_{SCALE_LO}_to_{SCALE_HI}",
-        "cpus": [SCALE_LO, SCALE_HI],
+        "cpus": [scale_lo, scale_hi],
         "sec_lo": min(r[0] for r in rounds),
         "sec_hi": min(r[1] for r in rounds),
         "urls_per_sec_lo": max(r[2] for r in rounds),
@@ -224,6 +223,30 @@ def run_scaling() -> dict:
         "paired_ratios": [round(x, 3) for x in ratios],
         "scaling_efficiency": round(eff, 3),
     }
+
+
+def run_scaling() -> dict:
+    """Measure BOTH scaling pairs and emit them in one JSON (ADVICE
+    r2: the secondary pair lived only in BASELINE.md prose). The
+    literal protocol pair (8→32, canonical — the north-rule N vs 4N
+    stand-in) comes first; the bandwidth-adjusted pair (default 6→24,
+    override via GRAFT_SCALE_LO/HI) isolates engine scaling from the
+    single box's memory-bandwidth ceiling (see the SCALE_LO comment).
+    The headline `scaling_efficiency` is the canonical 8→32 number."""
+    ensure_corpus()  # generate once so every run measures compute only
+    rounds_n = int(os.environ.get("GRAFT_SCALE_ROUNDS", "3"))
+    canonical = run_pair(8, 32, rounds_n)
+    result = {
+        "metric": "scaling_efficiency_8_to_32",
+        **canonical,
+    }
+    if (SCALE_LO, SCALE_HI) != (8, 32):
+        adjusted = run_pair(SCALE_LO, SCALE_HI, rounds_n)
+        result["bandwidth_adjusted"] = {
+            "metric": f"scaling_efficiency_{SCALE_LO}_to_{SCALE_HI}",
+            **adjusted,
+        }
+    return result
 
 
 if __name__ == "__main__":

@@ -96,9 +96,10 @@ def queue_requests(engine: CrawlEngine, specs: list[str | dict],
 
 def flush_queue(engine: CrawlEngine, queue: str) -> int:
     """DELETE /queues/:name (D4, routes/queues.js:11-17): drop all
-    pending rows of one class; the seen filter keeps its snapshot."""
-    takes = engine._call("take", {queue: 2**31}, 2**62)
-    return sum(t.num_rows for t in takes)
+    pending rows of one class; the seen filter keeps its snapshot.
+    Executes shard-side (FrontierShardState.drop_queue) — only counts
+    cross to the driver, never the rows themselves."""
+    return sum(engine._call("drop_queue", queue))
 
 
 def patch_config(engine: CrawlEngine, patches) -> None:

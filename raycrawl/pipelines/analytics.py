@@ -259,42 +259,56 @@ def upsert_latest(sf_dir: str):
 )
 def etag_join(sf_dir: str):
     """J2 etag-lookup join: big fact stream joined against a broadcast
-    small side (the documents(url,etag) analogue) — ray.put once, dict
-    lookup per batch, partial-aggregate before the tiny final groupby."""
+    small side (the documents(url,etag) analogue) — ray.put once
+    (sorted key array + dictionary codes, the anti_join_unseen pattern),
+    np.searchsorted probe per Arrow batch, partial-aggregate via
+    np.bincount before the tiny final groupby. No per-row dict probe."""
     import ray
     from ray.data.aggregate import Sum
 
     cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
+    seg_dict = cust.column("c_mktsegment").combine_chunks().dictionary_encode()
+    seg_labels = seg_dict.dictionary.to_pylist()
+    keys = cust.column("c_custkey").to_numpy()
+    order = np.argsort(keys, kind="stable")
     lookup_ref = ray.put(
-        dict(
-            zip(
-                cust.column("c_custkey").to_pylist(),
-                cust.column("c_mktsegment").to_pylist(),
-            )
-        )
+        (keys[order], seg_dict.indices.to_numpy()[order], seg_labels)
     )
 
     class JoinAgg:
         def __init__(self):
-            self.lookup = ray.get(lookup_ref)
+            self.keys, self.codes, self.labels = ray.get(lookup_ref)
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            df["c_mktsegment"] = df["o_custkey"].map(self.lookup)
-            df = df.dropna(subset=["c_mktsegment"])
-            cents = np.floor(df["o_totalprice"].values * 100 + 0.5).astype(np.int64)
-            part = (
-                pd.DataFrame(
-                    {"c_mktsegment": df["c_mktsegment"].values, "cents": cents}
-                )
-                .groupby("c_mktsegment", as_index=False)
-                .agg(revenue_cents=("cents", "sum"), n_orders=("cents", "size"))
+        def __call__(self, t: pa.Table) -> pa.Table:
+            probe = t.column("o_custkey").to_numpy()
+            idx = np.searchsorted(self.keys, probe)
+            idx_c = np.minimum(idx, len(self.keys) - 1)
+            hit = (idx < len(self.keys)) & (self.keys[idx_c] == probe)
+            codes = self.codes[idx_c[hit]]
+            cents = np.floor(
+                t.column("o_totalprice").to_numpy()[hit] * 100 + 0.5
+            ).astype(np.int64)
+            nseg = len(self.labels)
+            # float64 bincount is exact while a batch's per-segment sum
+            # stays < 2^53 cents (~9e13 dollars) — holds per batch; the
+            # cross-batch Sum below runs on int64.
+            rev = np.bincount(codes, weights=cents, minlength=nseg).astype(np.int64)
+            cnt = np.bincount(codes, minlength=nseg).astype(np.int64)
+            nz = cnt > 0
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array(
+                        [self.labels[i] for i in np.flatnonzero(nz)]
+                    ),
+                    "revenue_cents": pa.array(rev[nz]),
+                    "n_orders": pa.array(cnt[nz]),
+                }
             )
-            return part
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    partials = ds.map_batches(JoinAgg, batch_format="pandas", concurrency=2)
+    partials = ds.map_batches(JoinAgg, batch_format="pyarrow", concurrency=2)
     return partials.groupby("c_mktsegment").aggregate(
         Sum("revenue_cents", alias_name="revenue_cents"),
         Sum("n_orders", alias_name="n_orders"),

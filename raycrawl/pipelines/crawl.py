@@ -263,6 +263,14 @@ class CrawlEngine:
         }
         self._live["crawler"].on_change(self._on_crawler_change)
         self._live["fetcher"].on_change(self._on_fetcher_change)
+        # keys the change hooks read unconditionally — a PATCH removing
+        # one would crash the hook mid-crawl, so patch_config rejects it
+        # up front (the reference rejects bad PATCHes at the route and
+        # the crawl continues, routes/config.js)
+        self._baseline_keys = {
+            sub: frozenset(c.values) for sub, c in self._live.items()
+        }
+        self._exec_active: str | None = None
         self._pending_patches: list[dict] = []
         self._epoch_callbacks: list = []
         self._cached_counts = None  # per-epoch counts piggybacked on flush
@@ -405,18 +413,76 @@ class CrawlEngine:
     # -- live config (T11/X5; reference routes/config.js:12-50) ------------
 
     def patch_config(self, patches) -> None:
-        """Queue a config PATCH; it lands at the NEXT epoch boundary so
-        every epoch runs under one consistent snapshot. Accepts the
-        reference's flat op list (``[{"op", "path", "value"}]``, paths
-        like ``/crawler/host_rate_per_sec``) or a convenience dict
-        ``{"crawler": {"host_rate_per_sec": 50}}``."""
+        """Queue a config PATCH; it lands at the NEXT epoch (or pull
+        cycle) boundary so every cycle runs under one consistent
+        snapshot. Accepts the reference's flat op list (``[{"op",
+        "path", "value"}]``, paths like ``/crawler/host_rate_per_sec``)
+        or a convenience dict ``{"crawler": {"host_rate_per_sec": 50}}``.
+
+        Validation is EAGER (the reference rejects an invalid PATCH at
+        the route while the crawl continues, routes/config.js): unknown
+        subsystems, unsupported ops, malformed paths, and removal of
+        hook-read baseline keys raise HERE, so _apply_config_patches —
+        which runs mid-crawl — is infallible and a bad request can
+        never abort a running crawl or drop sibling patches."""
         if isinstance(patches, dict):
             patches = [
                 {"op": "replace", "path": f"/{sub}/{key}", "value": v}
                 for sub, vals in patches.items()
                 for key, v in vals.items()
             ]
+        from ..state.liveconfig import collect_patches
+
+        try:
+            grouped = collect_patches(patches)
+        except (KeyError, IndexError, TypeError) as exc:
+            raise ValueError(f"malformed config patch: {exc!r}") from exc
+        for sub, ops in grouped.items():
+            if sub not in self._live:
+                raise ValueError(f"unknown config subsystem: {sub!r}")
+            for op_ in ops:
+                op = op_.get("op", "replace")
+                if op not in ("add", "replace", "remove"):
+                    raise ValueError(f"unsupported patch op: {op!r}")
+                key = op_["path"].lstrip("/")
+                if not key:
+                    raise ValueError(
+                        f"patch path names no key in {sub!r}"
+                    )
+                if op == "remove" and key in self._baseline_keys[sub]:
+                    raise ValueError(
+                        f"cannot remove baseline config key "
+                        f"{sub}/{key} (change hooks depend on it)"
+                    )
+        if self._exec_active == "pull":
+            self._validate_pull_patch(grouped)
         self._pending_patches.extend(patches)
+
+    def _validate_pull_patch(self, grouped: dict) -> None:
+        """The pull executor's politeness windows are approximate and
+        its precondition is an unbounded gate (see run()); reject a
+        mid-pull patch that would bound it rather than silently running
+        rate limits with wrong window semantics."""
+        cfg = self.cfg
+        crawler = dict(self._live["crawler"].values)
+        fetcher = dict(self._live["fetcher"].values)
+        for sub, vals in (("crawler", crawler), ("fetcher", fetcher)):
+            for op_ in grouped.get(sub, ()):
+                key = op_["path"].lstrip("/")
+                if op_.get("op", "replace") == "remove":
+                    vals.pop(key, None)
+                else:
+                    vals[key] = op_["value"]
+        if (
+            float(crawler["host_rate_per_sec"]) * cfg.epoch_seconds
+            < cfg.fetch_batch_size * 2 * cfg.fetch_concurrency
+            or float(fetcher["compute_limit_ms"]) > 0
+        ):
+            raise ValueError(
+                "patch would enable a bounded politeness gate while the "
+                "pull executor is running (its windows are approximate); "
+                "use ray_exec='actors' for rate-limited/budgeted crawls"
+            )
 
     def on_epoch(self, callback) -> None:
         """Register a per-epoch hook ``cb(engine, epoch, stats)`` —
@@ -1057,6 +1123,8 @@ class CrawlEngine:
                "cycles": 0}
         _t = _time.perf_counter()
         cfg = self.cfg
+        self._exec_active = "pull"
+        self._apply_config_patches()  # patches queued before run()
         if seeds:
             self._seed_parallel(seeds)
         _tm["seed"] = _time.perf_counter() - _t
@@ -1213,6 +1281,11 @@ class CrawlEngine:
                 and not starved
                 and len(work_q) < 2 * len(pool)
             ):
+                # T11/X5: pull-CYCLE boundary — live-config patches land
+                # here, exactly as epoch mode applies them per epoch
+                # (patch_config already validated them, so this cannot
+                # abort the crawl)
+                self._apply_config_patches()
                 _t = _time.perf_counter()
                 if failed_tables and (
                     sum(t.num_rows for t in failed_tables) >= chunk * 4
@@ -1346,6 +1419,7 @@ class CrawlEngine:
 
         overall = hashlib.sha1("".join(digests).encode()).hexdigest()
         self._write_manifest(cycle, completed=True)
+        self._exec_active = None
         if _dbg:
             _tm["final"] = _time.perf_counter() - _t
             print(

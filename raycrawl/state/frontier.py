@@ -81,9 +81,11 @@ class FrontierShardState:
         # to Parquet under state_dir/spill/shard_<id>/ and reload
         # hottest-file-first as the frontier drains. Set semantics are
         # exact (identical seen set / documents — asserted by the spill
-        # crawl test); global ordering is preserved because BFS children
-        # are always colder (deeper) than anything already spilled, so
-        # in-memory rows outrank the spill at take time.
+        # crawl test); global ordering is preserved because take()
+        # unspills whenever the hottest spill file outranks any
+        # in-memory row of the queue (_spill_hotter_than_memory), in
+        # addition to when eligible in-memory rows can't cover the
+        # quota.
         self.pending_cap = pending_cap
         self._spill_seq = 0
         # [(hotness key, path, per-queue counts, min_not_before)]
@@ -228,12 +230,43 @@ class FrontierShardState:
         self._spill_files.sort(key=lambda f: f[0])
         self.metrics["spilled"] += cold.num_rows
 
+    def _spill_hotter_than_memory(self, queue: str) -> bool:
+        """True when the hottest spill file holding rows of `queue`
+        outranks (or ties) some in-memory row of that queue by the
+        global (depth, discovery_ts) priority — i.e. skipping the
+        unspill could pop a colder in-memory row ahead of a hotter
+        spilled one. Conservative (file hotness is its hottest row,
+        memory key is the coldest run tail), so it can only over-
+        unspill, never break ordering. O(runs) scalar reads."""
+        spill_key = None
+        for hotness, _, ccounts, _ in self._spill_files:
+            if ccounts.get(queue, 0) > 0:
+                spill_key = hotness
+                break
+        if spill_key is None:
+            return False
+        mem_max = None
+        for t in self._pending.get(queue, []):
+            if t.num_rows == 0:
+                continue
+            k = (
+                int(t.column("depth")[t.num_rows - 1].as_py()),
+                int(t.column("discovery_ts")[t.num_rows - 1].as_py()),
+            )
+            if mem_max is None or k > mem_max:
+                mem_max = k
+        return mem_max is not None and spill_key <= mem_max
+
     def _unspill(self, queue: str, want: int) -> None:
         """Reload hottest spill files until `queue` has `want` rows in
-        memory (or the spill is empty)."""
+        memory (or the spill is empty). Also keeps reloading while a
+        spill file is hotter than some in-memory row, so take() never
+        pops a colder in-memory row ahead of a hotter spilled one —
+        this upholds the exact global (depth, discovery_ts, seq)
+        ordering, not just set semantics."""
         while self._spilled_counts.get(queue, 0) > 0:
             have = sum(t.num_rows for t in self._pending.get(queue, []))
-            if have >= want:
+            if have >= want and not self._spill_hotter_than_memory(queue):
                 return
             # hottest file containing rows of this queue
             idx = next(
@@ -251,6 +284,49 @@ class FrontierShardState:
             for q, n in ccounts.items():
                 self._spilled_counts[q] = self._spilled_counts.get(q, 0) - n
             self.metrics["unspilled"] += table.num_rows
+
+    def drop_queue(self, queue: str) -> int:
+        """D4 flush (routes/queues.js:11-17): clear one queue class's
+        pending runs AND its spilled rows entirely shard-side, returning
+        only the dropped-row count — no frontier row ever crosses to the
+        driver (the previous take()-based flush materialized every
+        pending row through one process; at a 10^10-row frontier that is
+        terabytes of driver traffic to delete data)."""
+        dropped = sum(t.num_rows for t in self._pending.get(queue, []))
+        self._pending[queue] = []
+        spilled = self._spilled_counts.get(queue, 0)
+        if spilled:
+            keep: list[tuple[tuple, str, dict[str, int], int]] = []
+            for hotness, path, ccounts, min_nb in self._spill_files:
+                n_q = ccounts.get(queue, 0)
+                if not n_q:
+                    keep.append((hotness, path, ccounts, min_nb))
+                    continue
+                if sum(ccounts.values()) == n_q:
+                    os.remove(path)
+                    continue
+                table = pq.read_table(path)
+                rest = table.filter(
+                    pc.not_equal(table.column("queue"), queue)
+                )
+                pq.write_table(rest, path + ".tmp")
+                os.replace(path + ".tmp", path)
+                keep.append(
+                    (
+                        (
+                            int(rest.column("depth")[0].as_py()),
+                            int(rest.column("discovery_ts")[0].as_py()),
+                        ),
+                        path,
+                        {q: n for q, n in ccounts.items() if q != queue},
+                        int(pc.min(rest.column("not_before")).as_py()),
+                    )
+                )
+            keep.sort(key=lambda f: f[0])
+            self._spill_files = keep
+            self._spilled_counts[queue] = 0
+            dropped += spilled
+        return dropped
 
     def mark_seen(self, digests: list[bytes]) -> int:
         """Resume replay: record keys as seen without enqueueing."""

@@ -159,6 +159,50 @@ def test_shard_routing_consistency():
             assert split[d] == shard_of(d, num_shards)
 
 
+def test_shard_drop_queue_clears_memory_and_spill(tmp_path):
+    """D4 flush executes shard-side: pending runs AND spilled rows of
+    the flushed class are gone, other classes untouched, and only a
+    count is returned (no row materialization)."""
+    s = FrontierShardState(
+        0, 1, state_dir=str(tmp_path), pending_cap=6
+    )
+    s.offer(_rows([f"http://a.com/{i}" for i in range(10)], queue="normal"))
+    s.offer(_rows(["http://a.com/e1", "http://a.com/e2"], queue="events"))
+    assert s.metrics["spilled"] > 0  # cap forced a spill
+    before = s.counts()
+    assert before["normal"] + before["events"] == 12
+    dropped = s.drop_queue("normal")
+    assert dropped == before["normal"]
+    after = s.counts()
+    assert after["normal"] == 0
+    assert after["events"] == before["events"]
+    # events rows still poppable (spill metadata consistent)
+    assert s.take({"events": 10}, now_us=10**12).num_rows == before["events"]
+    assert s.take({"normal": 10}, now_us=10**12).num_rows == 0
+
+
+def test_spilled_hotter_rows_pop_before_colder_memory(tmp_path):
+    """Exact global priority across the spill boundary: rows offered
+    AFTER a spill with a colder (depth, discovery_ts) key than the
+    spilled rows must not be taken ahead of them (ADVICE r2: take()
+    previously skipped the unspill whenever in-memory rows covered the
+    quota)."""
+    s = FrontierShardState(
+        0, 1, state_dir=str(tmp_path), pending_cap=4
+    )
+    # 8 rows at ts 1000..1007 → spill keeps the hottest 2 in memory
+    s.offer(_rows([f"http://a.com/{i}" for i in range(8)], ts0=1000))
+    assert s.metrics["spilled"] > 0
+    # newly discovered, COLDER rows (later ts, same depth)
+    s.offer(_rows(["http://b.com/new1", "http://b.com/new2"], ts0=9000))
+    taken = s.take({"normal": 4}, now_us=10**12)
+    # the 4 hottest rows globally are all a.com (ts 1000-1003),
+    # two of which were on disk
+    assert taken.column("url").to_pylist() == [
+        f"http://a.com/{i}" for i in range(4)
+    ]
+
+
 def test_compute_budget_mirrors_reference_semantics():
     """T6 ComputeLimiter parity (computeLimiter.js:27-77): overage
     charging against a windowed budget, bench at window/4, rolling-min

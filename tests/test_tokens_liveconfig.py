@@ -190,9 +190,24 @@ def test_live_patch_dict_form_and_unknown_subsystem(corpus, tmp_path):
     engine.patch_config({"crawler": {"epoch_budget": 7}})
     engine._apply_config_patches()
     assert engine.cfg.epoch_budget == 7
-    engine.patch_config([{"op": "replace", "path": "/nope/x", "value": 1}])
+    # validation is EAGER (ADVICE r2): an invalid PATCH raises at the
+    # route (patch_config), never mid-crawl, and queued good patches
+    # are not dropped by a later bad one
     with pytest.raises(ValueError, match="unknown config subsystem"):
-        engine._apply_config_patches()
+        engine.patch_config(
+            [{"op": "replace", "path": "/nope/x", "value": 1}]
+        )
+    with pytest.raises(ValueError, match="unsupported patch op"):
+        engine.patch_config(
+            [{"op": "move", "path": "/crawler/epoch_budget", "value": 1}]
+        )
+    with pytest.raises(ValueError, match="cannot remove baseline"):
+        engine.patch_config(
+            [{"op": "remove", "path": "/crawler/host_rate_per_sec"}]
+        )
+    engine.patch_config({"crawler": {"epoch_budget": 9}})
+    engine._apply_config_patches()  # infallible: only valid ops queued
+    assert engine.cfg.epoch_budget == 9
 
 
 def test_live_patch_pool_resize(corpus, oracle, tmp_path, ray_session):
@@ -218,6 +233,26 @@ def test_live_patch_pool_resize(corpus, oracle, tmp_path, ray_session):
     result = engine.run(seeds=default_seeds(2))
     _check_against_oracle(corpus, result, oracle)
     assert sizes[0] == 2 and sizes[-1] == 3
+    engine.close()
+
+
+def test_live_patch_lands_in_pull_mode(corpus, oracle, tmp_path, ray_session):
+    """ADVICE r2: run() used to dispatch to _run_pull before the epoch
+    loop's _apply_config_patches, so queued patches silently never
+    landed in pull mode. They now apply at pull-cycle boundaries."""
+    cfg = CrawlConfig(
+        state_dir=str(tmp_path / "state"),
+        mode="ray",
+        ray_exec="pull",
+        num_shards=2,
+        fetch_concurrency=2,
+    )
+    engine = CrawlEngine(corpus, cfg)
+    engine.patch_config({"crawler": {"defer_delay_sec": 2.5}})
+    result = engine.run(seeds=default_seeds(2))
+    assert engine.config_snapshot()["crawler"]["defer_delay_sec"] == 2.5
+    assert engine.politeness.defer_delay_sec == 2.5
+    _check_against_oracle(corpus, result, oracle)
     engine.close()
 
 
