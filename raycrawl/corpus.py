@@ -328,3 +328,61 @@ GHGRAPH_EXPECTED_POP_ORDER: list[tuple[str, str, int]] = [
     ("members", "urn:team:20:members:page:1", 0),
     ("repos", "urn:team:20:repos:page:1", 0),
 ]
+
+
+def ghgraph_paginated_corpus(repos_pages: int = 3, per_page: int = 2) -> pa.Table:
+    """Entity fixture whose org repos collection spans `repos_pages`
+    pages of `per_page` repos each — exercises the multi-page URN
+    scheme (urn:org:1:repos:page:N, processingTests.js:28; ghcrawler
+    follows the Link header for page 2+, modeled here as the
+    {"items", "next"} envelope the visitor understands)."""
+    org_url = f"{_GH}/orgs/big"
+    resources: dict[str, tuple[str, object]] = {
+        org_url: ("org", {
+            "id": 1,
+            "url": org_url,
+            "repos_url": f"{org_url}/repos",
+            "members_url": f"{org_url}/members{{/member}}",
+        }),
+        f"{org_url}/members": ("members", []),
+        f"{org_url}/teams": ("teams", []),
+        f"{_GH}/users/big": ("user", {
+            "id": 1,
+            "url": f"{_GH}/users/big",
+            "repos_url": f"{_GH}/users/big/repos",
+        }),
+        f"{_GH}/users/big/repos": ("repos", []),
+    }
+    rid = 0
+    for p in range(1, repos_pages + 1):
+        page_u = f"{org_url}/repos" if p == 1 else f"{org_url}/repos?page={p}"
+        items = []
+        for _ in range(per_page):
+            rid += 1
+            repo_u = f"{_GH}/repos/big/r{rid}"
+            items.append({"url": repo_u})
+            resources[repo_u] = ("repo", {
+                "id": 100 + rid,
+                "url": repo_u,
+                "owner": {"url": f"{_GH}/users/big"},
+            })
+        body: object = {"items": items}
+        if p < repos_pages:
+            body["next"] = f"{org_url}/repos?page={p + 1}"
+        resources[page_u] = ("repos", body)
+    urls, types, bodies = [], [], []
+    for url, (typ, body) in resources.items():
+        urls.append(url)
+        types.append(typ)
+        bodies.append(json.dumps(body).encode("utf-8"))
+    n = len(urls)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array([BASE_TS_US + i for i in range(n)],
+                                 pa.timestamp("us")),
+            "html": pa.array(bodies, pa.binary()),
+            "text": pa.array([""] * n, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+        }
+    )

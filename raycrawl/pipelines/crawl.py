@@ -196,6 +196,7 @@ def build_frontier_rows(
             pa.array([s.get("parent_urn", "") for s in specs], pa.string()),
             pa.array([s.get("relation", "") for s in specs], pa.string()),
             pa.array([s.get("payload_etag", "") for s in specs], pa.string()),
+            pa.array([s.get("payload_body", "") for s in specs], pa.string()),
         ],
         schema=FRONTIER_SCHEMA,
     )
@@ -217,7 +218,7 @@ class CrawlEngine:
             epoch_seconds=cfg.epoch_seconds,
             defer_delay_sec=cfg.defer_delay_sec,
         )
-        self.robots_disallow: dict[str, tuple[str, ...]] = {}
+        self.robots_rules: dict = {}
         if cfg.respect_robots:
             from ..state.politeness import parse_robots
 
@@ -230,8 +231,8 @@ class CrawlEngine:
                 host = url.split("://", 1)[1].split("/", 1)[0].lower()
                 rules = parse_robots(body.decode("utf-8", "replace"))
                 self.politeness.robots[host] = rules
-                if rules.disallow:
-                    self.robots_disallow[host] = rules.disallow
+                if rules.rules:  # Allow/Disallow rules, RFC 9309 match
+                    self.robots_rules[host] = rules
         self.compute_budget = None
         self._benched_hosts: dict[str, int] = {}  # host -> bench_until_us
         if cfg.compute_limit_ms > 0:
@@ -345,7 +346,7 @@ class CrawlEngine:
                 dead_dir=self.dead_dir,
                 fetcher_cls=cfg.fetcher_cls,
                 scope_hosts=cfg.scope_hosts,
-                robots_disallow=self.robots_disallow,
+                robots_rules=self.robots_rules,
                 track_host_cost=cfg.compute_limit_ms > 0,
                 token_specs=cfg.token_specs,
                 token_call_cap=cfg.token_call_cap,
@@ -382,7 +383,7 @@ class CrawlEngine:
             dead_dir=self.dead_dir,
             fetcher_cls=cfg.fetcher_cls,
             scope_hosts=cfg.scope_hosts,
-            robots_disallow=self.robots_disallow,
+            robots_rules=self.robots_rules,
             track_host_cost=cfg.compute_limit_ms > 0,
             pin_cpu=pin,
             token_specs=cfg.token_specs,

@@ -30,6 +30,11 @@ FRONTIER_SCHEMA = pa.schema(
         ("parent_urn", pa.string()),
         ("relation", pa.string()),
         ("payload_etag", pa.string()),   # conditional-fetch etag ('' = none)
+        # pre-fetched body carried on event_trigger rows ('' = none):
+        # the reference embeds the webhook payload in the request with
+        # etag=1 so the fetcher skips the GET entirely
+        # (lib/crawlerFactory.js:670, routes/webhook.js:34)
+        ("payload_body", pa.string()),
     ]
 )
 

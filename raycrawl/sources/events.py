@@ -53,12 +53,9 @@ def format_event(event: dict, *, now_us: int) -> dict | None:
         "url": url,
         "type": "event_trigger",
         "queue": "events",
-        # The reference marks event bodies pre-fetched (crawlerFactory.js:670).
-        # This rebuild RE-FETCHES event URLs from the corpus instead (the
-        # frontier schema does not carry bodies); "1" never matches a body
-        # etag, so the row always fetches — and a URL absent from the corpus
-        # goes through the retry ledger into deadletters. Deviation is
-        # documented in stages/visitor.py.
+        # The reference marks event bodies pre-fetched with etag=1
+        # (crawlerFactory.js:670); payload_body rides the frontier row
+        # and the fetch stage processes it WITHOUT a corpus read.
         "payload_etag": "1",
         "context": {
             "repoType": "private" if repo.get("private") else "public"

@@ -34,8 +34,16 @@ from dataclasses import dataclass, field
 from .extract import extract_links, extract_text
 
 _TEMPLATE_RE = re.compile(r"\{[^}]*\}")
+_PAGE_RE = re.compile(r"[?&]page=(\d+)")
 
 COLLECTION_CHILD_TYPE = {"repos": "repo", "members": "user", "teams": "team"}
+
+
+def _page_number(url: str) -> int:
+    """Collection page number from the `page` query param (GitHub API
+    pagination convention); absent -> page 1."""
+    m = _PAGE_RE.search(url)
+    return int(m.group(1)) if m else 1
 
 
 @dataclass
@@ -92,14 +100,33 @@ def visit(
 
     doc = json.loads(body.decode("utf-8"))
 
-    if req_type in COLLECTION_CHILD_TYPE:  # a collection page (JSON list)
+    if req_type in COLLECTION_CHILD_TYPE:  # a collection page
+        # Multi-page collections (reference URN scheme
+        # urn:org:1:repos:page:N, test/unit/processingTests.js:28;
+        # ghcrawler follows the Link header for page 2+). The corpus's
+        # stand-in for the Link header is a JSON envelope
+        # {"items": [...], "next": "<url>?page=N+1"}; a bare JSON list
+        # is a single-page collection (page:1, no next). The page
+        # number comes from the URL's `page` query param.
         child_type = COLLECTION_CHILD_TYPE[req_type]
-        urn = f"{parent_urn}:{req_type}:page:1"
+        urn = f"{parent_urn}:{req_type}:page:{_page_number(url)}"
+        elements, next_url = doc, None
+        if isinstance(doc, dict):
+            elements = doc.get("items", [])
+            next_url = doc.get("next")
         children = [
             ChildRequest(child_type, element["url"], child_queue, urn, req_type)
-            for element in doc
+            for element in elements
             if isinstance(element, dict) and element.get("url")
         ]
+        if next_url:
+            # next page keeps the SAME type/relation/parent so its urn
+            # continues the page:N sequence under the same parent
+            children.append(
+                ChildRequest(
+                    req_type, next_url, child_queue, parent_urn, req_type
+                )
+            )
         return VisitResult(
             urn=urn, doc_type=req_type, body=json.dumps(doc), children=children
         )

@@ -7,7 +7,10 @@ Maps the reference's limiter stack onto per-host budgets:
   tokenFactory.js:74-86) -> per-host cooldown carried as `not_before`
   deferral on frontier rows (deferDelay analogue,
   /root/reference/lib/crawlerFactory.js:74)
-- robots.txt: simple prefix Disallow + Crawl-delay parsing (the
+- robots.txt: RFC 9309 semantics — Allow/Disallow rules with
+  longest-match precedence (most-octets rule wins, Allow wins ties),
+  `*` wildcards and `$` end anchors, group selection where a matching
+  specific-agent group shadows the `*` group — plus Crawl-delay (the
   reference crawls one host — api.github.com — so robots generalizes
   the token-pool "traits" idea to per-host fetch capabilities).
 
@@ -16,26 +19,108 @@ All state is deterministic; the engine injects the epoch clock.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 import numpy as np
 
 
+def _compile_rule(pattern: str):
+    """A rule pattern without `*`/`$` is a plain prefix (fast path,
+    None); otherwise an anchored regex (`*` -> `.*`, trailing `$` ->
+    end anchor — RFC 9309 §2.2.3)."""
+    if "*" not in pattern and not pattern.endswith("$"):
+        return None
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = ".*".join(re.escape(seg) for seg in body.split("*"))
+    return re.compile(rx + ("$" if anchored else ""))
+
+
 @dataclass
 class RobotsRules:
-    disallow: tuple[str, ...] = ()
+    """RFC 9309 rule group: ``rules`` is ((pattern, is_allow), ...) in
+    file order. Matching: longest (most-octets) matching pattern wins;
+    on a tie between Allow and Disallow, Allow wins (§2.2.2); no match
+    -> allowed."""
+
+    rules: tuple[tuple[str, bool], ...] = ()
     crawl_delay: float | None = None
 
+    def __post_init__(self) -> None:
+        self._compiled = [
+            (pattern, is_allow, len(pattern), _compile_rule(pattern))
+            for pattern, is_allow in self.rules
+        ]
+
+    @property
+    def disallow(self) -> tuple[str, ...]:
+        """Plain Disallow patterns (diagnostics / has-any-rules checks)."""
+        return tuple(p for p, is_allow in self.rules if not is_allow)
+
     def allowed(self, path: str) -> bool:
-        return not any(path.startswith(p) for p in self.disallow if p)
+        best_prio, best_allow = -1, True
+        for pattern, is_allow, prio, rx in self._compiled:
+            if rx is None:
+                hit = path.startswith(pattern)
+            else:
+                hit = rx.match(path) is not None
+            if not hit:
+                continue
+            # Allow wins ties -> Allow updates at >=, Disallow only at >
+            if prio > best_prio or (prio == best_prio and is_allow):
+                best_prio, best_allow = prio, is_allow
+        return best_allow
+
+    def allowed_many(self, paths: list[str]) -> np.ndarray:
+        """Vectorized `allowed` over a batch of paths: one numpy
+        prefix-match per rule (regex rules fall back to a per-path
+        match for that rule only), tracking per-path best (prio,
+        verdict) arrays — no per-path Python in the common
+        prefix-rules case."""
+        n = len(paths)
+        best_prio = np.full(n, -1, dtype=np.int64)
+        best_allow = np.ones(n, dtype=bool)
+        arr = None
+        for pattern, is_allow, prio, rx in self._compiled:
+            if rx is None:
+                if arr is None:
+                    arr = np.asarray(paths, dtype=str)
+                hit = np.char.startswith(arr, pattern)
+            else:
+                hit = np.fromiter(
+                    (rx.match(p) is not None for p in paths),
+                    dtype=bool,
+                    count=n,
+                )
+            if is_allow:
+                upd = hit & (prio >= best_prio)
+            else:
+                upd = hit & (prio > best_prio)
+            best_prio[upd] = prio
+            best_allow[upd] = is_allow
+        return best_allow
 
 
 def parse_robots(text: str, agent: str = "*") -> RobotsRules:
-    """Minimal robots.txt parser: honors the `User-agent: *` group's
-    Disallow prefixes and Crawl-delay."""
-    disallow: list[str] = []
-    delay: float | None = None
-    active = False
+    """RFC 9309 robots.txt parser: groups of consecutive User-agent
+    lines followed by Allow/Disallow/Crawl-delay records. Group
+    selection follows §2.2.1: if any group names `agent` exactly
+    (case-insensitive), only those groups apply; otherwise the `*`
+    groups. Empty Allow/Disallow values are no-ops."""
+    # parse into groups: (agents, rules, delay)
+    groups: list[tuple[list[str], list[tuple[str, bool]], float | None]] = []
+    cur_agents: list[str] = []
+    cur_rules: list[tuple[str, bool]] = []
+    cur_delay: float | None = None
+    in_agents = False  # consecutive User-agent lines share one group
+
+    def close_group() -> None:
+        nonlocal cur_agents, cur_rules, cur_delay
+        if cur_agents:
+            groups.append((cur_agents, cur_rules, cur_delay))
+        cur_agents, cur_rules, cur_delay = [], [], None
+
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line or ":" not in line:
@@ -44,15 +129,34 @@ def parse_robots(text: str, agent: str = "*") -> RobotsRules:
         key = key.strip().lower()
         value = value.strip()
         if key == "user-agent":
-            active = value == agent or value == "*"
-        elif active and key == "disallow" and value:
-            disallow.append(value)
-        elif active and key == "crawl-delay":
+            if not in_agents:
+                close_group()
+            cur_agents.append(value.lower())
+            in_agents = True
+            continue
+        in_agents = False
+        if key == "disallow" and value:
+            cur_rules.append((value, False))
+        elif key == "allow" and value:
+            cur_rules.append((value, True))
+        elif key == "crawl-delay":
             try:
-                delay = float(value)
+                cur_delay = float(value)
             except ValueError:
                 pass
-    return RobotsRules(tuple(disallow), delay)
+    close_group()
+
+    agent_l = agent.lower()
+    matched = [g for g in groups if agent_l != "*" and agent_l in g[0]]
+    if not matched:
+        matched = [g for g in groups if "*" in g[0]]
+    rules: list[tuple[str, bool]] = []
+    delay: float | None = None
+    for _, grules, gdelay in matched:
+        rules.extend(grules)
+        if gdelay is not None:
+            delay = gdelay if delay is None else min(delay, gdelay)
+    return RobotsRules(tuple(rules), delay)
 
 
 @dataclass

@@ -407,7 +407,7 @@ def test_robots_ingestion_disallow_and_crawl_delay(corpus, tmp_path):
         respect_robots=True,
     )
     engine = CrawlEngine(rcorpus, cfg)
-    assert "host0.example.com" in engine.robots_disallow
+    assert "host0.example.com" in engine.robots_rules
     assert engine.politeness.robots["host1.example.com"].crawl_delay == 0.2
     result = engine.run(seeds=default_seeds(2))
     got = set(result.documents_table().column("url").to_pylist())

@@ -137,6 +137,64 @@ def test_robots_parse():
     assert p.allowance("b.com") == 10
 
 
+def test_robots_rfc9309_longest_match():
+    """RFC 9309 §2.2.2 precedence: the most-octets matching rule wins;
+    Allow wins ties; no match -> allowed. §2.2.3 special characters:
+    `*` wildcard and `$` end anchor."""
+    rules = parse_robots(
+        "User-agent: *\n"
+        "Allow: /example/page/\n"
+        "Disallow: /example/\n"
+        "Allow: /folder\n"
+        "Disallow: /folder\n"
+        "Disallow: /*.gif$\n"
+        "Allow: /pub*html\n"
+        "Disallow: /pub\n"
+    )
+    # longest match wins: the Allow is more specific than Disallow
+    assert rules.allowed("/example/page/index.html")
+    assert not rules.allowed("/example/other")
+    # equal-length Allow and Disallow -> Allow wins (RFC tie rule)
+    assert rules.allowed("/folder/page")
+    # $ anchors at the end; * spans path segments
+    assert not rules.allowed("/a/b/pic.gif")
+    assert rules.allowed("/a/pic.gif.html")
+    # wildcard Allow (9 octets) beats plain Disallow /pub (4)
+    assert rules.allowed("/pub/page.html")
+    assert not rules.allowed("/pub/data.bin")
+    # vectorized matcher agrees with the scalar one
+    paths = [
+        "/example/page/index.html", "/example/other", "/folder/page",
+        "/a/b/pic.gif", "/a/pic.gif.html", "/pub/page.html",
+        "/pub/data.bin", "/unmatched",
+    ]
+    assert list(rules.allowed_many(paths)) == [
+        rules.allowed(p) for p in paths
+    ]
+
+
+def test_robots_group_selection():
+    """§2.2.1: a group naming the product token exactly shadows the `*`
+    group entirely; consecutive User-agent lines share one group."""
+    text = (
+        "User-agent: googlebot\n"
+        "User-agent: raycrawl\n"
+        "Disallow: /noray\n"
+        "Crawl-delay: 5\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /nobody\n"
+    )
+    mine = parse_robots(text, agent="raycrawl")
+    assert not mine.allowed("/noray/x")
+    assert mine.allowed("/nobody/x")  # * group shadowed
+    assert mine.crawl_delay == 5.0
+    generic = parse_robots(text)  # default agent '*'
+    assert generic.allowed("/noray/x")
+    assert not generic.allowed("/nobody/x")
+    assert generic.crawl_delay is None
+
+
 def test_shard_routing_consistency():
     """Driver-side shard_of and the worker's vectorized _shard_split
     MUST agree — a url_hash has exactly one owning shard."""
