@@ -176,20 +176,54 @@ def run_bench() -> dict:
     }
 
 
-def _run_child(ncpu: int) -> dict:
+def _spinners(cores: list[int]) -> list:
+    """One register-only ALU spinner pinned per core: zero memory
+    traffic, zero syscalls — its only effect is keeping the core busy
+    so the host clocks all cores at the same (all-core) frequency."""
+    import subprocess as sp
+
+    procs = []
+    for c in cores:
+        p = sp.Popen(
+            [sys.executable, "-c",
+             "import os\n"
+             f"os.sched_setaffinity(0, {{{c}}})\n"
+             "x = 1469598103934665603\n"
+             "while True:\n"
+             "    x = (x * 1099511628211) & 0xFFFFFFFFFFFFFFFF\n"],
+            stdout=sp.DEVNULL, stderr=sp.DEVNULL,
+        )
+        procs.append(p)
+    return procs
+
+
+def _run_child(ncpu: int, clock_held: bool = False) -> dict:
     env = dict(
         os.environ,
         RAY_GRAFT_CPUS=str(ncpu),
         GRAFT_BENCH_CRAWL_ONLY="1",
     )
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)],
-        env=env,
-        capture_output=True,
-        text=True,
-        check=True,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
-    ).stdout
+    # clock-held protocol: during a small-N run, ALU spinners occupy
+    # the OTHER cores (the bench pins itself to cores [0, ncpu)), so
+    # the host's frequency governor sees 32 busy cores on BOTH sides
+    # of the pair and clocks them identically. The spinners touch no
+    # memory, so the small side keeps its full bandwidth — this
+    # isolates ENGINE scaling from the measured ~20% all-core turbo
+    # drop (see BASELINE.md's ALU-probe table), which a real N->4N
+    # NODE comparison (same clock per node at both sizes) never pays.
+    spin = _spinners(list(range(ncpu, 32))) if clock_held and ncpu < 32 else []
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+    finally:
+        for p in spin:
+            p.kill()
     return json.loads(out.strip().splitlines()[-1])
 
 

@@ -43,7 +43,7 @@ import pyarrow.parquet as pq
 
 from ..functions.urlnorm import canonicalize_batch
 from ..schemas import DOCUMENT_SCHEMA, FRONTIER_SCHEMA, QUEUES as QUEUE_ORDER
-from .extract import extract_links, extract_text
+from .extract import extract_page
 from .visitor import visit
 
 RESULT_SCHEMA = pa.schema(
@@ -324,6 +324,7 @@ class CrawlWorkerStage:
                 ),
                 pa.array([0] * n, pa.int32()),
                 pa.array([0] * n, pa.int64()),
+                pa.array([""] * n, pa.string()),
                 pa.array([""] * n, pa.string()),
                 pa.array([""] * n, pa.string()),
                 pa.array([""] * n, pa.string()),
@@ -771,8 +772,7 @@ class CrawlWorkerStage:
                 # page_urn()'s digest, asserted by the crawl goldens).
                 # Measured: the dataclass + re-hash overhead was ~15%
                 # of the visit kernel.
-                text = extract_text(body)
-                links = extract_links(body, urls[i]) if expand else []
+                text, links = extract_page(body, urls[i], want_links=expand)
                 urn = "urn:page:" + url_hashes[i].hex()
                 doc_text, doc_body, doc_type = text, "", "page"
                 n_children = len(links)

@@ -31,7 +31,7 @@ import json
 import re
 from dataclasses import dataclass, field
 
-from .extract import extract_links, extract_text
+from .extract import extract_page
 
 _TEMPLATE_RE = re.compile(r"\{[^}]*\}")
 _PAGE_RE = re.compile(r"[?&]page=(\d+)")
@@ -90,8 +90,7 @@ def visit(
         # engine's frontier carries only payload_etag, and the fetch
         # stage re-reads the body from the corpus — equivalent here
         # because fetches are deterministic lookups.)
-        text = extract_text(body)
-        links = extract_links(body, url)
+        text, links = extract_page(body, url)
         urn = page_urn(url)
         children = [
             ChildRequest("page", link, child_queue, urn, "links") for link in links
