@@ -227,7 +227,10 @@ def _run_child(ncpu: int, clock_held: bool = False) -> dict:
     return json.loads(out.strip().splitlines()[-1])
 
 
-def run_pair(scale_lo: int, scale_hi: int, rounds_n: int = 3) -> dict:
+def run_pair(
+    scale_lo: int, scale_hi: int, rounds_n: int = 3,
+    clock_held: bool = False,
+) -> dict:
     """Paired-sample scaling measurement for one (lo, hi) CPU pair.
     This VM shows ±25-60% run-to-run host-steal noise (a single steal
     burst can double the short 32-CPU run), which is partially
@@ -239,7 +242,8 @@ def run_pair(scale_lo: int, scale_hi: int, rounds_n: int = 3) -> dict:
     each side's overall best."""
     rounds = []
     for _ in range(rounds_n):
-        lo, hi = _run_child(scale_lo), _run_child(scale_hi)
+        lo = _run_child(scale_lo, clock_held=clock_held)
+        hi = _run_child(scale_hi, clock_held=clock_held)
         rounds.append((lo["value"], hi["value"], lo["urls_per_sec"],
                        hi["urls_per_sec"], lo["pages"]))
     ratios = sorted(
@@ -259,6 +263,33 @@ def run_pair(scale_lo: int, scale_hi: int, rounds_n: int = 3) -> dict:
     }
 
 
+def _alu_probe(nproc: int, dur: float = 4.0) -> float:
+    """Per-process rate of a register-only integer loop across nproc
+    pinned processes — zero memory traffic, zero syscalls in the loop,
+    so any per-process drop vs a smaller nproc is host CPU frequency
+    (all-core turbo), not bandwidth, cache, or engine behavior."""
+    import multiprocessing as mp
+
+    def spin(core, q):
+        os.sched_setaffinity(0, {core})
+        x, n = 1469598103934665603, 0
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < dur:
+            for _ in range(100_000):
+                x = (x * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+            n += 100_000
+        q.put(n / (time.perf_counter() - t0))
+
+    q = mp.Queue()
+    procs = [mp.Process(target=spin, args=(i, q)) for i in range(nproc)]
+    for p in procs:
+        p.start()
+    rates = [q.get() for _ in procs]
+    for p in procs:
+        p.join()
+    return sum(rates) / len(rates)
+
+
 def run_scaling() -> dict:
     """Measure BOTH scaling pairs and emit them in one JSON (ADVICE
     r2: the secondary pair lived only in BASELINE.md prose). The
@@ -269,10 +300,28 @@ def run_scaling() -> dict:
     The headline `scaling_efficiency` is the canonical 8→32 number."""
     ensure_corpus()  # generate once so every run measures compute only
     rounds_n = int(os.environ.get("GRAFT_SCALE_ROUNDS", "3"))
+    # hardware ceiling evidence: per-process ALU rate at 8 vs 32
+    # busy cores bounds ANY workload's 8→32 efficiency on this box
+    alu8, alu32 = _alu_probe(8), _alu_probe(32)
     canonical = run_pair(8, 32, rounds_n)
     result = {
         "metric": "scaling_efficiency_8_to_32",
         **canonical,
+        "alu_probe": {
+            "per_proc_ops_8": round(alu8),
+            "per_proc_ops_32": round(alu32),
+            "hardware_ceiling_8_to_32": round(alu32 / alu8, 3),
+        },
+    }
+    # clock-held 8→32: same pair, but ALU spinners keep the idle cores
+    # busy during the 8-CPU side so the host clocks both sides at the
+    # all-core frequency. Isolates engine scaling from the ~20%
+    # all-core turbo drop a real N->4N NODE comparison never pays
+    # (each node clocks identically at both cluster sizes).
+    held = run_pair(8, 32, rounds_n, clock_held=True)
+    result["clock_held"] = {
+        "metric": "scaling_efficiency_8_to_32_clock_held",
+        **held,
     }
     if (SCALE_LO, SCALE_HI) != (8, 32):
         adjusted = run_pair(SCALE_LO, SCALE_HI, rounds_n)

@@ -455,35 +455,7 @@ class CrawlEngine:
                         f"cannot remove baseline config key "
                         f"{sub}/{key} (change hooks depend on it)"
                     )
-        if self._exec_active == "pull":
-            self._validate_pull_patch(grouped)
         self._pending_patches.extend(patches)
-
-    def _validate_pull_patch(self, grouped: dict) -> None:
-        """The pull executor's politeness windows are approximate and
-        its precondition is an unbounded gate (see run()); reject a
-        mid-pull patch that would bound it rather than silently running
-        rate limits with wrong window semantics."""
-        cfg = self.cfg
-        crawler = dict(self._live["crawler"].values)
-        fetcher = dict(self._live["fetcher"].values)
-        for sub, vals in (("crawler", crawler), ("fetcher", fetcher)):
-            for op_ in grouped.get(sub, ()):
-                key = op_["path"].lstrip("/")
-                if op_.get("op", "replace") == "remove":
-                    vals.pop(key, None)
-                else:
-                    vals[key] = op_["value"]
-        if (
-            float(crawler["host_rate_per_sec"]) * cfg.epoch_seconds
-            < cfg.fetch_batch_size * 2 * cfg.fetch_concurrency
-            or float(fetcher["compute_limit_ms"]) > 0
-        ):
-            raise ValueError(
-                "patch would enable a bounded politeness gate while the "
-                "pull executor is running (its windows are approximate); "
-                "use ray_exec='actors' for rate-limited/budgeted crawls"
-            )
 
     def on_epoch(self, callback) -> None:
         """Register a per-epoch hook ``cb(engine, epoch, stats)`` —
@@ -495,9 +467,11 @@ class CrawlEngine:
         """GET /config analogue (routes/config.js:20-28)."""
         return {sub: dict(c.values) for sub, c in self._live.items()}
 
-    def _apply_config_patches(self) -> None:
+    def _apply_config_patches(self) -> bool:
+        """Apply queued patches; returns True when any landed (the pull
+        executor re-syncs its shard-side politeness gate on change)."""
         if not self._pending_patches:
-            return
+            return False
         from ..state.liveconfig import collect_patches
 
         grouped = collect_patches(self._pending_patches)
@@ -506,6 +480,40 @@ class CrawlEngine:
             if sub not in self._live:
                 raise ValueError(f"unknown config subsystem: {sub!r}")
             self._live[sub].apply(ops)
+        return True
+
+    def _sync_pull_politeness(self) -> None:
+        """Push the current politeness window config to the frontier
+        shards — the pull executor's gate runs inside each shard's
+        take() (FrontierShardState.configure_politeness). One pull
+        cycle == one logical window (start_refill advances clock_us by
+        epoch_us per cycle) and one cycle takes at most
+        fetch_batch_size x 4 x pool rows (the refill `want` cap), so an
+        allowance at or above that cap can never defer a row: the
+        unbounded headline config pushes allowance=None and the shards
+        keep their gate-free take fast path."""
+        import ray
+
+        pol = self.politeness
+        epoch_us = int(self.cfg.epoch_seconds * 1e6)
+        cap = self.cfg.fetch_batch_size * 4 * max(1, len(self.workers))
+        base = max(1, int(pol.host_rate_per_sec * pol.epoch_seconds))
+        overrides = {
+            h: pol.allowance(h)
+            for h, r in pol.robots.items()
+            if r.crawl_delay
+        }
+        bounded = base < cap or any(v < cap for v in overrides.values())
+        ray.get(
+            [
+                s.configure_politeness.remote(
+                    epoch_us=epoch_us,
+                    allowance=base if bounded else None,
+                    overrides=overrides if bounded else None,
+                )
+                for s in self.shards
+            ]
+        )
 
     def _set_worker_host_cost(self, on: bool) -> None:
         if self.cfg.mode == "ray":
@@ -1021,18 +1029,15 @@ class CrawlEngine:
     ) -> CrawlResult:
         cfg = self.cfg
         if cfg.mode == "ray" and cfg.ray_exec == "pull":
-            if (
-                cfg.host_rate_per_sec * cfg.epoch_seconds
-                < cfg.fetch_batch_size * 2 * cfg.fetch_concurrency
-                or self.politeness.robots
-                or self.compute_budget is not None
-                or cfg.token_specs
-            ):
-                raise ValueError(
-                    "pull executor requires an unbounded politeness gate "
-                    "(its windows are approximate); use ray_exec='actors' "
-                    "for rate-limited / budgeted / token-pool crawls"
-                )
+            # Politeness under pull runs INSIDE the shards' take()
+            # (FrontierShardState.configure_politeness): each pull
+            # cycle is one logical window (start_refill advances the
+            # clock by epoch_us per cycle), each shard admits its
+            # rotating share of the global per-host allowance, so the
+            # window semantics stay exact with no driver barrier.
+            # Token pools (T7/T8) gate worker-side and compute budgets
+            # (T6) charge in absorb() -> shard set_benched, so every
+            # politeness-bounded config now gets the fast executor.
             return self._run_pull(seeds, max_urls, start_cycle=start_epoch)
         if seeds:
             self.seed(seeds)
@@ -1126,6 +1131,7 @@ class CrawlEngine:
         cfg = self.cfg
         self._exec_active = "pull"
         self._apply_config_patches()  # patches queued before run()
+        self._sync_pull_politeness()
         if seeds:
             self._seed_parallel(seeds)
         _tm["seed"] = _time.perf_counter() - _t
@@ -1248,6 +1254,43 @@ class CrawlEngine:
             result = (
                 results[0] if len(results) == 1 else pa.concat_tables(results)
             )
+            if self.compute_budget is not None:
+                # T6 under pull: charge per-host byte cost exactly as the
+                # epoch path does; newly-benched hosts push to the shards
+                # whose take()-side gate defers their rows until
+                # bench_until (fire-and-forget — benching binds from the
+                # next take wave, the same next-window semantics epoch
+                # mode has).
+                hostcost = result.filter(
+                    pc.equal(result.column("type"), HOSTCOST_TYPE)
+                )
+                if hostcost.num_rows:
+                    result = result.filter(
+                        pc.not_equal(result.column("type"), HOSTCOST_TYPE)
+                    )
+                    changed = False
+                    for h, nbytes in zip(
+                        hostcost.column("url_host").to_pylist(),
+                        hostcost.column("discovery_ts").to_pylist(),
+                    ):
+                        ms = nbytes / self.cfg.compute_bytes_per_ms
+                        until = self.compute_budget.consume(h, ms, clock_us)
+                        if (
+                            until is not None
+                            and self._benched_hosts.get(h) != until
+                        ):
+                            self._benched_hosts[h] = until
+                            changed = True
+                    if changed:
+                        self._benched_hosts = {
+                            h: u
+                            for h, u in self._benched_hosts.items()
+                            if u > clock_us
+                        }
+                        self._route_refs.extend(
+                            s.set_benched.remote(self._benched_hosts)
+                            for s in self.shards
+                        )
             summaries = result.filter(
                 pc.equal(result.column("type"), SUMMARY_TYPE)
             )
@@ -1285,8 +1328,11 @@ class CrawlEngine:
                 # T11/X5: pull-CYCLE boundary — live-config patches land
                 # here, exactly as epoch mode applies them per epoch
                 # (patch_config already validated them, so this cannot
-                # abort the crawl)
-                self._apply_config_patches()
+                # abort the crawl); a landed patch re-syncs the
+                # shard-side politeness gate so rate changes bind from
+                # the next window
+                if self._apply_config_patches():
+                    self._sync_pull_politeness()
                 _t = _time.perf_counter()
                 if failed_tables and (
                     sum(t.num_rows for t in failed_tables) >= chunk * 4
@@ -1402,9 +1448,10 @@ class CrawlEngine:
             self._metrics_rows.append(
                 {"epoch": cycle, "name": name, "value": value}
             )
-        # cumulative shard counters (incl. spill round-trips) as final
-        # metric rows — the shards' own ledger, not the driver's
-        for name in ("spilled", "unspilled", "bounce"):
+        # cumulative shard counters (incl. spill round-trips and the
+        # shard-side politeness gate's deferrals) as final metric rows —
+        # the shards' own ledger, not the driver's
+        for name in ("spilled", "unspilled", "bounce", "defer"):
             total = sum(
                 m.get(name, 0)
                 for m in getattr(self, "_last_shard_metrics", [])

@@ -91,6 +91,16 @@ class FrontierShardState:
         # [(hotness key, path, per-queue counts, min_not_before)]
         self._spill_files: list[tuple[tuple, str, dict[str, int], int]] = []
         self._spilled_counts: dict[str, int] = {q: 0 for q in QUEUES}
+        # -- shard-side politeness gate (pull executor) --------------------
+        # The epoch executor gates politeness on the driver AFTER take;
+        # the continuous pull executor instead gates INSIDE each shard's
+        # take (see configure_politeness), so no driver barrier is
+        # needed and the window semantics stay exact.
+        self._pol: dict | None = None
+        self._pol_window = -1
+        self._pol_used: dict[str, int] = {}
+        self._benched: dict[str, int] = {}  # host -> bench_until_us (T6)
+        self.metrics["defer"] = 0
 
     # -- ingest ------------------------------------------------------------
 
@@ -333,6 +343,116 @@ class FrontierShardState:
         mask = self.seen.add_if_absent(digests)
         return int(mask.sum())
 
+    # -- shard-side politeness (pull executor) -----------------------------
+
+    def configure_politeness(
+        self,
+        *,
+        epoch_us: int,
+        allowance: int | None,
+        overrides: dict[str, int] | None = None,
+    ) -> None:
+        """Enable the shard-side per-host window gate: at most
+        share(allowance) rows per host per ``epoch_us`` logical window
+        leave this shard; overflow rows defer in place (not_before =
+        next window start). ``allowance``/``overrides`` are GLOBAL
+        per-window per-host budgets (overrides: robots crawl-delay
+        hosts); each shard takes its deterministic share (see _share),
+        so the S shards admit AT MOST the global allowance per window —
+        the same window semantics the epoch executor enforces on the
+        driver, with no barrier. Frontier rows hash-shard by url_hash,
+        so a host's rows spread ~uniformly over shards and each
+        shard's share is actually consumable. ``allowance=None``
+        disables the gate (the unbounded headline config keeps the
+        gate-free take fast path)."""
+        if allowance is None:
+            self._pol = None
+        else:
+            self._pol = {
+                "epoch_us": int(epoch_us),
+                "allow": int(allowance),
+                "over": dict(overrides or {}),
+            }
+        self._pol_window = -1
+        self._pol_used = {}
+
+    def set_benched(self, benched: dict[str, int]) -> None:
+        """T6 compute-limiter benching, pushed by the pull driver: rows
+        of a benched host defer until its bench_until timestamp."""
+        self._benched = dict(benched)
+
+    def _share(self, allowance: int, window: int) -> int:
+        """This shard's slice of a global per-window allowance:
+        floor(A/S) everywhere plus one residual unit ROTATED by window
+        ((shard_id + window) % S < A % S) — aggregate over shards is
+        exactly A every window, and when A < S the rotation guarantees
+        every shard admits the host within S windows (a fixed residual
+        assignment would starve rows stuck on zero-share shards)."""
+        s = self.num_shards
+        return allowance // s + (
+            1 if (self.shard_id + window) % s < allowance % s else 0
+        )
+
+    def _politeness_gate(self, taken: pa.Table, now_us: int) -> pa.Table:
+        """Admit at most share(allowance(host)) rows per host this
+        window (and zero for benched hosts); defer the rest in place.
+        Vectorized: per-host ordinals via one argsort, allowances via
+        one pass over the UNIQUE hosts of the batch."""
+        pol = self._pol
+        if pol is not None:
+            epoch_us = pol["epoch_us"]
+            w = now_us // epoch_us
+            if w != self._pol_window:
+                self._pol_window = w
+                self._pol_used = {}
+        else:
+            epoch_us, w = 0, 0
+        hosts = np.asarray(taken.column("url_host").to_pylist(), dtype=object)
+        n = len(hosts)
+        uniq, inv = np.unique(hosts, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        sorted_inv = inv[order]
+        run_start = np.r_[0, np.flatnonzero(np.diff(sorted_inv)) + 1]
+        run_ord = np.arange(n) - np.repeat(
+            run_start, np.diff(np.r_[run_start, n])
+        )
+        ordinal = np.empty(n, dtype=np.int64)
+        ordinal[order] = run_ord
+        allow = np.empty(len(uniq), dtype=np.int64)
+        used = np.zeros(len(uniq), dtype=np.int64)
+        until = np.zeros(len(uniq), dtype=np.int64)
+        big = np.iinfo(np.int64).max // 2
+        for j, h in enumerate(uniq):
+            hs = str(h)
+            b = self._benched.get(hs, 0)
+            if b > now_us:
+                allow[j], until[j] = 0, b
+            elif pol is None:
+                allow[j] = big
+            else:
+                allow[j] = self._share(pol["over"].get(hs, pol["allow"]), w)
+            used[j] = self._pol_used.get(hs, 0)
+        admit = (ordinal + used[inv]) < allow[inv]
+        n_admit = np.bincount(inv[admit], minlength=len(uniq))
+        for j in np.flatnonzero(n_admit):
+            self._pol_used[str(uniq[j])] = int(used[j] + n_admit[j])
+        if admit.all():
+            return taken
+        defer_mask = ~admit
+        deferred = taken.filter(pa.array(defer_mask))
+        nb_host = np.where(
+            until > 0, until, (w + 1) * epoch_us if pol is not None else 0
+        )
+        nb = nb_host[inv][defer_mask]
+        deferred = deferred.select(FRONTIER_SCHEMA.names).set_column(
+            FRONTIER_SCHEMA.names.index("not_before"),
+            "not_before",
+            pa.array(nb, pa.int64()),
+        )
+        self._append(deferred)  # re-stamped seq, like any requeue
+        self.metrics["defer"] += deferred.num_rows
+        return taken.filter(pa.array(admit))
+
     # -- scheduling --------------------------------------------------------
 
     def counts(self) -> dict[str, int]:
@@ -409,6 +529,10 @@ class FrontierShardState:
                 if all_eligible
                 else self._take_exact(queue, quota, now_us)
             )
+            if taken.num_rows and (
+                self._pol is not None or self._benched
+            ):
+                taken = self._politeness_gate(taken, now_us)
             if taken.num_rows:
                 out.append(taken)
         if not out:

@@ -169,15 +169,23 @@ def test_compute_budget_benches_hosts_same_result(corpus, oracle, tmp_path):
     assert defer > 0  # budget exhaustion actually benched hosts
 
 
-def test_compute_budget_rejected_in_pull_mode(corpus, tmp_path, ray_session):
+def test_pull_compute_budget_same_result(corpus, oracle, tmp_path, ray_session):
+    """T6 under the pull executor: workers emit per-host byte-cost rows,
+    the driver charges the budget in absorb() and pushes benched hosts to
+    the shards, whose take()-side gate defers them until bench_until.
+    The crawl still converges to the exact BFS oracle."""
     cfg = CrawlConfig(
         state_dir=str(tmp_path / "state"), mode="ray", ray_exec="pull",
-        num_shards=2, fetch_concurrency=2, compute_limit_ms=5.0,
+        num_shards=3, fetch_concurrency=2, fetch_batch_size=16,
+        compute_limit_ms=2.0, compute_window_sec=40.0,
+        compute_bytes_per_ms=1000.0,
     )
-    engine = CrawlEngine(corpus, cfg)
-    with pytest.raises(ValueError, match="budgeted"):
-        engine.run(seeds=default_seeds(1))
-    engine.close()
+    result = CrawlEngine(corpus, cfg).run(seeds=default_seeds(2))
+    _check_against_oracle(corpus, result, oracle)
+    defer = sum(
+        m["value"] for m in result.metrics.to_pylist() if m["name"] == "defer"
+    )
+    assert defer > 0  # budget exhaustion actually benched hosts
 
 
 def test_bloom_filter_same_result(corpus, oracle, tmp_path):
@@ -300,19 +308,27 @@ def test_fetcher_injection(corpus, tmp_path):
     assert result.deadlettered == 2
 
 
-def test_pull_rejects_binding_politeness(corpus, tmp_path, ray_session):
-    """The continuous scheduler's politeness windows are approximate;
-    configs where the budget actually binds must use epoch mode."""
+def test_pull_binding_politeness_same_result(corpus, oracle, tmp_path, ray_session):
+    """A binding per-host rate limit under the pull executor: the gate
+    runs INSIDE each shard's take() (one pull cycle == one logical
+    window, each shard admits its rotating share of the global per-host
+    allowance), so the windows stay exact with no driver barrier. The
+    crawl converges to the exact BFS oracle and actually deferred work."""
     cfg = CrawlConfig(
         state_dir=str(tmp_path / "state"),
         mode="ray",
         ray_exec="pull",
-        num_shards=2,
-        host_rate_per_sec=1,   # binding budget
+        num_shards=3,
+        host_rate_per_sec=5,   # binding budget
         fetch_concurrency=2,
+        fetch_batch_size=16,
     )
-    with pytest.raises(ValueError, match="politeness"):
-        CrawlEngine(corpus, cfg).run(seeds=default_seeds(1))
+    result = CrawlEngine(corpus, cfg).run(seeds=default_seeds(2))
+    _check_against_oracle(corpus, result, oracle)
+    defer = sum(
+        m["value"] for m in result.metrics.to_pylist() if m["name"] == "defer"
+    )
+    assert defer > 0  # throttling actually deferred work
 
 
 def test_frontier_spill_same_result(corpus, oracle, tmp_path):
@@ -346,11 +362,24 @@ def test_frontier_spill_ray_same_result(corpus, oracle, tmp_path, ray_session):
     engine.close()
 
 
-def test_robots_ingestion_disallow_and_crawl_delay(corpus, tmp_path):
+@pytest.mark.parametrize(
+    "engine_mode",
+    [
+        {"mode": "local"},
+        {"mode": "ray", "ray_exec": "pull", "fetch_concurrency": 2,
+         "fetch_batch_size": 16},
+    ],
+    ids=["local-epoch", "ray-pull"],
+)
+def test_robots_ingestion_disallow_and_crawl_delay(
+    corpus, tmp_path, engine_mode, ray_session
+):
     """T7/T8 robots half: robots.txt pages in the corpus are ingested at
     engine construction; Disallow prefixes are never crawled (and the
     pages behind them become unreachable unless reachable otherwise);
-    Crawl-delay throttles the host's allowance (deferrals happen)."""
+    Crawl-delay throttles the host's allowance (deferrals happen).
+    Parametrized over both executors: the pull executor's shard-side
+    gate must honor the same crawl-delay override allowances."""
     from raycrawl.corpus import make_pages_corpus
     from raycrawl.functions.urlnorm import rfc3986_normalize
 
@@ -401,10 +430,10 @@ def test_robots_ingestion_disallow_and_crawl_delay(corpus, tmp_path):
 
     cfg = CrawlConfig(
         state_dir=str(tmp_path / "state"),
-        mode="local",
         num_shards=3,
         epoch_budget=50,
         respect_robots=True,
+        **engine_mode,
     )
     engine = CrawlEngine(rcorpus, cfg)
     assert "host0.example.com" in engine.robots_rules

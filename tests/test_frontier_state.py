@@ -116,6 +116,53 @@ def test_shard_queue_classes():
     assert taken.column("url").to_pylist() == ["http://a.com/e"]
 
 
+def test_shard_share_rotation_exact_and_live():
+    """The pull gate's per-shard slice of a global allowance: shares sum
+    to exactly A every window, and with A < S the rotating residual
+    reaches every shard within S windows (a fixed assignment would
+    starve rows stuck on zero-share shards)."""
+    S = 5
+    shards = [FrontierShardState(i, S) for i in range(S)]
+    for A in (1, 3, 5, 7, 12):
+        for w in range(2 * S):
+            assert sum(s._share(A, w) for s in shards) == A
+    for s in shards:
+        assert any(s._share(1, w) > 0 for w in range(S))
+
+
+def test_shard_politeness_gate_windows():
+    """configure_politeness: at most `allowance` rows of one host leave
+    the shard per logical window; overflow defers in place to the next
+    window start; the deferred set drains over subsequent windows."""
+    s = FrontierShardState(0, 1)
+    s.offer(_rows([f"http://a.com/{i}" for i in range(7)]))
+    s.configure_politeness(epoch_us=1_000_000, allowance=3)
+    assert s.take({"normal": 100}, now_us=0).num_rows == 3
+    # same window: deferred rows carry not_before = next window start
+    assert s.take({"normal": 100}, now_us=500_000).num_rows == 0
+    assert s.take({"normal": 100}, now_us=1_000_000).num_rows == 3
+    assert s.take({"normal": 100}, now_us=2_000_000).num_rows == 1
+    assert s.metrics["defer"] == 4 + 1
+    assert s.pending_total() == 0
+    # disabling the gate restores the unbounded fast path
+    s.configure_politeness(epoch_us=1_000_000, allowance=None)
+    s.offer(_rows([f"http://b.com/{i}" for i in range(5)], ts0=2000))
+    assert s.take({"normal": 100}, now_us=0).num_rows == 5
+
+
+def test_shard_benched_host_defers():
+    """set_benched (T6 pull path): a benched host admits nothing until
+    its bench_until timestamp; other hosts are unaffected."""
+    s = FrontierShardState(0, 1)
+    s.offer(_rows(["http://a.com/x", "http://b.com/y"]))
+    s.set_benched({"a.com": 5_000_000})
+    taken = s.take({"normal": 10}, now_us=0)
+    assert taken.column("url").to_pylist() == ["http://b.com/y"]
+    assert s.take({"normal": 10}, now_us=1_000_000).num_rows == 0
+    late = s.take({"normal": 10}, now_us=6_000_000)
+    assert late.column("url").to_pylist() == ["http://a.com/x"]
+
+
 def test_politeness_admit_mask():
     p = PolitenessPolicy(host_rate_per_sec=2, epoch_seconds=1.0)
     hosts = np.array(["a", "a", "a", "b", "a", "b", "b"], dtype=object)
