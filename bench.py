@@ -117,28 +117,39 @@ def run_bench() -> dict:
     reserve = max(1, NUM_CPUS // 8)
     workers = max(2, NUM_CPUS - reserve - 1)
 
-    def crawl_once(tag: str) -> tuple[float, int]:
+    seeds = seeds_for_corpus(corpus, max(64, corpus.num_rows // 50))
+
+    def crawl_once(
+        tag: str, corpus_t=None, **extra
+    ) -> tuple[float, int, int]:
+        c = corpus if corpus_t is None else corpus_t
         state = tempfile.mkdtemp(prefix=f"raycrawl_bench_{tag}_")
         cfg = CrawlConfig(
             state_dir=state,
             mode="ray",
             ray_exec="pull",   # continuous scheduler: no epoch barrier
             num_shards=num_shards,
-            epoch_budget=max(100_000, corpus.num_rows),
+            epoch_budget=max(100_000, c.num_rows),
             fetch_concurrency=workers,
             fetch_batch_size=4096,
             reserve_cores=reserve,
             seen_filter="bloom",
-            seen_capacity=max(1_000_000, corpus.num_rows * 4 // num_shards),
+            seen_capacity=max(1_000_000, c.num_rows * 4 // num_shards),
+            **extra,
         )
-        engine = CrawlEngine(corpus, cfg)
+        engine = CrawlEngine(c, cfg)
         t0 = time.perf_counter()
-        result = engine.run(seeds=seeds_for_corpus(corpus, max(64, corpus.num_rows // 50)))
+        result = engine.run(seeds=seeds)
         wall = time.perf_counter() - t0
         crawled = result.docs_written + result.deadlettered
+        defers = sum(
+            m["value"]
+            for m in result.metrics.to_pylist()
+            if m["name"] == "defer"
+        )
         engine.close()  # free the actor pool before the next run
         shutil.rmtree(state, ignore_errors=True)
-        return wall, crawled
+        return wall, crawled, defers
 
     # best-of-2: the sandbox VM shows ±25% host-steal noise between
     # identical runs; the faster run is the truer capability measure.
@@ -147,7 +158,57 @@ def run_bench() -> dict:
     crawl_only = os.environ.get("GRAFT_BENCH_CRAWL_ONLY") == "1"
     reps = 2
     runs = [crawl_once(f"timed{i}") for i in range(reps)]
-    wall, crawled = min(runs, key=lambda r: r[0])
+    wall, crawled, _ = min(runs, key=lambda r: r[0])
+
+    # polite crawl: the SAME corpus + crawl with a BINDING per-host rate
+    # limit and robots rules active (Crawl-delay overrides on two hosts,
+    # a Disallow rule that keeps the reachable set identical so the
+    # comparison is apples-to-apples). The shard-side window gate keeps
+    # it on the pull executor; the bar is within 2x of the unbounded
+    # headline at the same CPU count.
+    polite = None
+    if not crawl_only:
+        import pyarrow as pa
+
+        rate = float(os.environ.get("GRAFT_POLITE_RATE", "8000"))
+        delay = float(os.environ.get("GRAFT_POLITE_DELAY", "0.0005"))
+        body = (
+            "User-agent: *\nDisallow: /nonexistent\n"
+            f"Crawl-delay: {delay}\n"
+        ).encode()
+        hosts = ["src0.example.com", "src1.example.com"]
+        ts0 = corpus.column("warc_ts")[0].as_py()
+        extra_rows = pa.table(
+            {
+                "url": pa.array(
+                    [f"http://{h}/robots.txt" for h in hosts], pa.string()
+                ),
+                "warc_ts": pa.array([ts0] * len(hosts), pa.timestamp("us")),
+                "html": pa.array([body] * len(hosts), pa.binary()),
+                "text": pa.array([""] * len(hosts), pa.string()),
+                "lang": pa.array(["en"] * len(hosts), pa.string()),
+            }
+        )
+        pcorpus = pa.concat_tables([corpus, extra_rows])
+        pruns = [
+            crawl_once(
+                f"polite{i}",
+                corpus_t=pcorpus,
+                respect_robots=True,
+                host_rate_per_sec=rate,
+            )
+            for i in range(reps)
+        ]
+        pwall, pcrawled, pdefers = min(pruns, key=lambda r: r[0])
+        polite = {
+            "value": round(pwall, 3),
+            "urls_crawled": pcrawled,
+            "urls_per_sec": round(pcrawled / pwall, 1),
+            "defers": pdefers,
+            "host_rate_per_sec": rate,
+            "crawl_delay_hosts": len(hosts),
+            "vs_unbounded": round(pwall / wall, 2),
+        }
 
     # representative operator queries
     from raycrawl.pipelines.analytics import QUERIES  # registry
@@ -163,7 +224,7 @@ def run_bench() -> dict:
         qtimes[name] = round(time.perf_counter() - t0, 3)
 
     ray.shutdown()
-    return {
+    out = {
         "metric": "crawl_wall_sec",
         "value": round(wall, 3),
         "unit": "sec",
@@ -174,6 +235,9 @@ def run_bench() -> dict:
         "urls_crawled": crawled,
         "urls_per_sec": round(crawled / wall, 1),
     }
+    if polite is not None:
+        out["polite"] = polite
+    return out
 
 
 def _spinners(cores: list[int]) -> list:

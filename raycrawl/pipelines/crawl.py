@@ -515,6 +515,30 @@ class CrawlEngine:
             ]
         )
 
+    def load_etag_index(self, docs: pa.Table) -> None:
+        """Install a prior run's (url_hash, etag) map for conditional
+        fetches (incremental re-crawl): hash-split once by the workers'
+        shard router, one RPC per shard — each shard holds only its
+        slice (docs/num_shards rows), exactly how a multi-node cluster
+        would hold a 10^10-doc etag store. Shards stamp payload_etag on
+        admitted rows; the fetch stage 304s unchanged bodies."""
+        splitter = CrawlWorkerStage._shard_split
+        holder = type("S", (), {"num_shards": self.cfg.num_shards})()
+        refs = []
+        for sid, sub in splitter(holder, docs):
+            hashes = sub.column("url_hash").to_pylist()
+            etags = sub.column("etag").to_pylist()
+            if self.cfg.mode == "ray":
+                refs.append(
+                    self.shards[sid].load_etag_index.remote(hashes, etags)
+                )
+            else:
+                self.shards[sid].load_etag_index(hashes, etags)
+        if refs:
+            import ray
+
+            ray.get(refs)
+
     def _set_worker_host_cost(self, on: bool) -> None:
         if self.cfg.mode == "ray":
             import ray
@@ -773,6 +797,13 @@ class CrawlEngine:
         # pipelines/analytics.py + textops.py — the crawl's inner loop
         # is exactly the "shared mutable state" case where raw actors
         # are the documented escape hatch.
+        # RE-VALIDATED on ray 2.49.2 (probe, 2026-08-17): (a) schema()
+        # on a map_batches plan re-executes the stage — a 1000-row
+        # side-effecting stage saw 2000 rows under schema()+take_all
+        # (take_all alone saw 1000); (b) a concurrency=2 callable-class
+        # pool logged 2 __init__ calls on the first execution and a 3rd
+        # on re-execution of the same Dataset — pools do not persist.
+        # Both reasons for the escape hatch still hold on this release.
         raise ValueError(f"unknown ray_exec mode: {self.cfg.ray_exec!r}")
 
     def _epoch(self, epoch: int, now_us: int) -> dict:
@@ -1153,7 +1184,7 @@ class CrawlEngine:
         flush_refs: list = []
         last_flushed_cycle = -1
         processed = 0
-        docs = offered = admitted_known = 0
+        docs = offered = admitted_known = unchanged = 0
 
         last_counts: list[dict[str, int]] | None = None
 
@@ -1249,7 +1280,7 @@ class CrawlEngine:
             return finish_refill() if pending_take is not None else 0
 
         def absorb(results: list[pa.Table]) -> None:
-            nonlocal docs, offered, starved
+            nonlocal docs, offered, starved, unchanged
             starved = False  # completions flushed fresh offers to shards
             result = (
                 results[0] if len(results) == 1 else pa.concat_tables(results)
@@ -1307,11 +1338,14 @@ class CrawlEngine:
                 self._dead += int(
                     pc.sum(summaries.column("not_before")).as_py() or 0
                 )
+                # with the inline retry ledger only 304s come back
+                unchanged += result.num_rows - summaries.num_rows
                 return
             rest = result.filter(
                 pc.not_equal(result.column("type"), SUMMARY_TYPE)
             )
             failed = rest.filter(pc.equal(rest.column("status"), 404))
+            unchanged += rest.num_rows - failed.num_rows
             if failed.num_rows:
                 failed_tables.append(failed)
 
@@ -1444,6 +1478,7 @@ class CrawlEngine:
             ("push", admitted_known),
             ("abandon", self._failed),
             ("deadletter", self._dead),
+            ("unchanged", unchanged),
         ):
             self._metrics_rows.append(
                 {"epoch": cycle, "name": name, "value": value}
@@ -1609,3 +1644,55 @@ def resume_crawl(corpus: pa.Table, cfg: CrawlConfig) -> CrawlResult:
         engine._route(pq.read_table(f), "offer")
 
     return engine.run(start_epoch=manifest["last_epoch"] + 1)
+
+
+def recrawl(
+    corpus: pa.Table, cfg: CrawlConfig, seeds: list[dict]
+) -> CrawlResult:
+    """Incremental re-crawl against an existing state_dir (reference
+    tracker-TTL + etag store: an expired tracker lets the same URL
+    queue again, and the fetcher's etag store turns unchanged bodies
+    into 304s — config ttl + githubFetcher etag path). Composition:
+
+    1. a NEW filter snapshot (next snapshot_id) so every URL is
+       re-admittable — the documented snapshot analogue of the
+       reference's tracker TTL expiry;
+    2. the prior run's compacted (url_hash, etag) map is hash-split to
+       the frontier shards (load_etag_index) so offered rows carry
+       their prior etag;
+    3. unchanged bodies 304 (no new document version, children still
+       traverse), changed bodies write new versions that
+       ``latest_documents`` compaction upserts (D3 last-write-wins).
+
+    The crawl result's ``docs_written`` is exactly the changed-doc
+    count; the ``unchanged`` metric carries the 304 count."""
+    import dataclasses
+
+    from ..api import latest_documents
+
+    with open(os.path.join(cfg.state_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    prior_snap = str(manifest.get("snapshot_id", cfg.snapshot_id))
+    digits = "".join(c for c in prior_snap if c.isdigit())
+    next_snap = (
+        prior_snap.rstrip("0123456789") + str(int(digits) + 1)
+        if digits
+        else prior_snap + ".1"
+    )
+    prior = latest_documents(cfg.state_dir)
+    # advance the logical clock past the prior run so the new versions'
+    # processed_at strictly dominates in last-write-wins compaction
+    base_ts = cfg.base_ts_us
+    if prior.num_rows:
+        base_ts = max(
+            base_ts,
+            int(pc.max(prior.column("processed_at")).as_py())
+            + int(cfg.epoch_seconds * 1e6),
+        )
+    cfg = dataclasses.replace(
+        cfg, snapshot_id=next_snap, base_ts_us=base_ts
+    )
+    engine = CrawlEngine(corpus, cfg)
+    if prior.num_rows:
+        engine.load_etag_index(prior.select(["url_hash", "etag"]))
+    return engine.run(seeds=seeds)

@@ -211,6 +211,8 @@ class CrawlWorkerStage:
         self.shards = shards
         self.num_shards = len(shards)
         self.docs_dir = docs_dir
+        self._write_salt = os.urandom(8)  # unique doc part names per run
+        self._doc_seq = 0
         self.child_queue = child_queue
         self.epoch = epoch
         self.now_us = now_us
@@ -673,9 +675,17 @@ class CrawlWorkerStage:
         )
         out_dir = os.path.join(self.docs_dir, f"epoch={self.epoch}")
         os.makedirs(out_dir, exist_ok=True)
+        # per-stage random salt + sequence: the content-derived name
+        # alone could collide ACROSS runs against the same state_dir
+        # (an incremental re-crawl repeating a batch composition would
+        # silently replace the prior run's version file)
         part = hashlib.sha1(
-            b"".join(doc_rows["url_hash"][:4]) + len(doc_rows["urn"]).to_bytes(4, "big")
+            b"".join(doc_rows["url_hash"][:4])
+            + len(doc_rows["urn"]).to_bytes(4, "big")
+            + self._write_salt
+            + self._doc_seq.to_bytes(4, "big")
         ).hexdigest()[:16]
+        self._doc_seq += 1
         tmp = os.path.join(out_dir, f".part-{part}.tmp")
         pq.write_table(docs, tmp)
         os.replace(tmp, os.path.join(out_dir, f"part-{part}.parquet"))
@@ -747,9 +757,13 @@ class CrawlWorkerStage:
                 # cost no fetch
                 host_bytes[row_hosts[i]] += len(body)
             etag = etag_of(body)
-            if payload_etags[i] and payload_etags[i] == etag:
-                statuses[i] = 304  # unchanged — skip reprocess
-                continue
+            # 304-unchanged (etag match): no new document version is
+            # written, but children STILL traverse — the reference
+            # re-processes from the cached store content on 304 without
+            # re-saving (githubFetcher _getCachedContent semantics), so
+            # an incremental re-crawl reaches changed docs through
+            # unchanged ancestors.
+            unchanged = bool(payload_etags[i]) and payload_etags[i] == etag
             # X4 traversal policy (reference policy.getShortForm(),
             # routes/requests.js:79; the policy table maps to
             # depth/scope rules per SURVEY §2.10): 'default' follows
@@ -794,6 +808,9 @@ class CrawlWorkerStage:
                         (ch.type, ch.url, ch.parent_urn, ch.relation, i,
                          policy)
                     )
+            if unchanged:
+                statuses[i] = 304
+                continue
             statuses[i] = 200
             doc_rows["urn"].append(urn)
             doc_rows["type"].append(doc_type)

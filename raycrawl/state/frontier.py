@@ -101,6 +101,15 @@ class FrontierShardState:
         self._pol_used: dict[str, int] = {}
         self._benched: dict[str, int] = {}  # host -> bench_until_us (T6)
         self.metrics["defer"] = 0
+        # -- conditional-fetch etag index (incremental re-crawl) -----------
+        # This shard's slice of the prior run's (url_hash -> etag) map,
+        # hash-sharded exactly like the seen filter, so per-shard memory
+        # is docs/num_shards — the partitioning a multi-node cluster
+        # would use; nothing is broadcast. offer() stamps payload_etag
+        # on admitted rows found here and the fetch stage 304s bodies
+        # whose etag is unchanged.
+        self._etag_hashes: np.ndarray | None = None  # sorted S20
+        self._etag_values: np.ndarray | None = None  # aligned etags
 
     # -- ingest ------------------------------------------------------------
 
@@ -177,10 +186,47 @@ class FrontierShardState:
         self.metrics["bounce"] += len(digests) - admitted
         if admitted:
             atable = table.filter(pa.array(mask))
+            if self._etag_hashes is not None:
+                atable = self._stamp_etags(atable)
             self._epoch_admitted.append(atable)
             self._append(atable)
             self._maybe_spill()
         return admitted
+
+    def load_etag_index(
+        self, hashes: list[bytes], etags: list[str]
+    ) -> None:
+        """Install this shard's conditional-fetch slice (see the field
+        comment in __init__): sorted url_hash keys + aligned etags for
+        one vectorized searchsorted probe per offered batch."""
+        if not hashes:
+            return
+        h = np.asarray(hashes, dtype="S20")
+        order = np.argsort(h)
+        self._etag_hashes = h[order]
+        self._etag_values = np.asarray(etags, dtype=object)[order]
+
+    def _stamp_etags(self, t: pa.Table) -> pa.Table:
+        """Set payload_etag on admitted rows whose url_hash has a prior
+        etag; rows already carrying an etag (event payloads) keep it."""
+        h = np.asarray(t.column("url_hash").to_pylist(), dtype="S20")
+        pos = np.searchsorted(self._etag_hashes, h)
+        pos = np.minimum(pos, len(self._etag_hashes) - 1)
+        hit = self._etag_hashes[pos] == h
+        if not hit.any():
+            return t
+        cur = np.asarray(t.column("payload_etag").to_pylist(), dtype=object)
+        has = np.fromiter(
+            (bool(c) for c in cur), dtype=bool, count=len(cur)
+        )
+        hit &= ~has
+        if not hit.any():
+            return t
+        cur[hit] = self._etag_values[pos[hit]]
+        i = t.schema.get_field_index("payload_etag")
+        return t.set_column(
+            i, "payload_etag", pa.array(cur.tolist(), pa.string())
+        )
 
     def requeue(self, table: pa.Table) -> int:
         """Re-enqueue rows WITHOUT dedup (retries after failure, deferred

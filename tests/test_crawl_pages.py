@@ -454,6 +454,86 @@ def test_robots_ingestion_disallow_and_crawl_delay(
     assert defer > 0
 
 
+@pytest.mark.parametrize(
+    "engine_mode",
+    [
+        {"mode": "local"},
+        {"mode": "ray", "ray_exec": "pull", "fetch_concurrency": 2,
+         "fetch_batch_size": 16},
+    ],
+    ids=["local-epoch", "ray-pull"],
+)
+def test_incremental_recrawl_304s_and_upserts(
+    corpus, oracle, tmp_path, engine_mode, ray_session
+):
+    """Incremental re-crawl flow (reference tracker TTL + etag store):
+    after a full crawl, modify K corpus bodies and recrawl() the same
+    state_dir — exactly K new document versions are written, every
+    other reachable page 304s, and latest_documents upserts the changed
+    text (D3 last-write-wins). Both executors: the shard-side etag
+    stamp and the 304-traversal path are executor-independent."""
+    from glob import glob
+
+    import pyarrow as pa
+
+    from raycrawl.api import latest_documents
+    from raycrawl.pipelines.crawl import recrawl
+    from raycrawl.stages.extract import extract_text
+
+    reachable, dangling = oracle
+    cfg = CrawlConfig(
+        state_dir=str(tmp_path / "state"),
+        num_shards=3,
+        epoch_budget=50,
+        **engine_mode,
+    )
+    first = CrawlEngine(corpus, cfg).run(seeds=default_seeds(2))
+    assert first.docs_written == len(reachable)
+
+    K = 3
+    urls = corpus.column("url").to_pylist()
+    htmls = corpus.column("html").to_pylist()
+    texts = corpus.column("text").to_pylist()
+    canon = [rfc3986_normalize(u) for u in urls]
+    mod_idx = [i for i, c in enumerate(canon) if c in reachable][:K]
+    for i in mod_idx:
+        htmls[i] = htmls[i].replace(b"<body>", b"<body><p>MODIFIED</p>")
+        texts[i] = extract_text(htmls[i])
+    corpus2 = corpus.set_column(
+        corpus.schema.get_field_index("html"),
+        "html",
+        pa.array(htmls, pa.binary()),
+    ).set_column(
+        corpus.schema.get_field_index("text"),
+        "text",
+        pa.array(texts, pa.string()),
+    )
+
+    second = recrawl(corpus2, cfg, default_seeds(2))
+    # exactly the K changed pages produced new document versions
+    assert second.docs_written == K
+    unchanged = sum(
+        m["value"]
+        for m in second.metrics.to_pylist()
+        if m["name"] == "unchanged"
+    )
+    assert unchanged == len(reachable) - K
+    # compaction upserts: one row per url, changed rows carry new text
+    latest = latest_documents(cfg.state_dir)
+    assert latest.num_rows == len(reachable)
+    got = dict(
+        zip(latest.column("url").to_pylist(), latest.column("text").to_pylist())
+    )
+    for i in mod_idx:
+        assert got[canon[i]] == texts[i]
+    # full version history: reachable v1 rows + K v2 rows, nothing lost
+    files = glob(str(tmp_path / "state" / "documents" / "epoch=*" / "*.parquet"))
+    import pyarrow.parquet as pq_
+
+    total = sum(pq_.read_metadata(f).num_rows for f in files)
+    assert total == len(reachable) + K
+
+
 def test_traversal_policy_shallow_and_depth(corpus, tmp_path):
     """X4 traversal policies: 'shallow' stores only the seeds (no child
     expansion); 'depth:K' truncates each seed's subtree at depth K with
