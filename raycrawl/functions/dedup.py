@@ -34,6 +34,61 @@ def shingles(text: str, k: int = 5) -> set[int]:
     }
 
 
+# positional odd multipliers + avalanche for shingle_codes (fmix64-ish)
+_SHINGLE_MULTS = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+     0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0xFF51AFD7ED558CCD,
+     0xC4CEB9FE1A85EC53, 0x94D049BB133111EB],
+    dtype=np.uint64,
+)
+
+
+def shingle_codes(
+    text: str, k: int = 5, cache: dict | None = None
+) -> np.ndarray:
+    """Vectorized `shingles()`: sorted unique uint64 codes of the word
+    k-shingles. Each UNIQUE word is blake2b-hashed once (cached across
+    batches when a ``cache`` dict is supplied — vocabulary converges,
+    so a persistent actor pays blake2b only on first sight), and the k
+    word hashes of a shingle combine positionally (odd-multiplier mix
+    + xorshift avalanche) in one numpy pass over the document. Set
+    cardinality — and therefore MinHash/Jaccard behavior — matches
+    `shingles()` up to ~2^-64 collisions; the VALUES differ (different
+    hash family), so signatures from the two kernels must not be
+    mixed. Replaces a per-shingle join+blake2b Python loop."""
+    assert k <= len(_SHINGLE_MULTS)
+    words = text.split()
+    if not words:
+        return np.empty(0, dtype=np.uint64)
+    if len(words) < k:
+        return np.array([_stable_hash64(" ".join(words))], dtype=np.uint64)
+    if cache is None:
+        h = np.fromiter(
+            (_stable_hash64(w) for w in words), np.uint64, len(words)
+        )
+    else:
+        if len(cache) > 4_000_000:  # bound actor memory on open vocab
+            cache.clear()
+        h = np.fromiter(
+            (
+                cache[w] if w in cache
+                else cache.setdefault(w, _stable_hash64(w))
+                for w in words
+            ),
+            np.uint64,
+            len(words),
+        )
+    n = len(words) - k + 1
+    with np.errstate(over="ignore"):
+        acc = h[:n] * _SHINGLE_MULTS[0]
+        for j in range(1, k):
+            acc = acc ^ (h[j : n + j] * _SHINGLE_MULTS[j])
+        acc ^= acc >> np.uint64(33)
+        acc = acc * np.uint64(0xFF51AFD7ED558CCD)
+        acc ^= acc >> np.uint64(29)
+    return np.unique(acc)
+
+
 def char_trigram_codes(text: str) -> np.ndarray:
     """Sorted unique uint64 codes of the char 3-grams of ``text`` —
     the vectorized equivalent of ``char_ngrams(text, 3)``: each
@@ -73,12 +128,20 @@ class MinHasher:
         self.a = rng.integers(1, int(_MERSENNE), num_perms, dtype=np.uint64)
         self.b = rng.integers(0, int(_MERSENNE), num_perms, dtype=np.uint64)
 
-    def signature(self, hashed_shingles: set[int]) -> np.ndarray:
-        if not hashed_shingles:
+    def signature(self, hashed_shingles) -> np.ndarray:
+        """Accepts a set of ints (`shingles()`) or a uint64 ndarray
+        (`shingle_codes()`)."""
+        if isinstance(hashed_shingles, np.ndarray):
+            if hashed_shingles.size == 0:
+                return np.full(self.num_perms, np.iinfo(np.uint64).max,
+                               dtype=np.uint64)
+            x = hashed_shingles.astype(np.uint64, copy=False)
+        elif not hashed_shingles:
             return np.full(self.num_perms, np.iinfo(np.uint64).max,
                            dtype=np.uint64)
-        x = np.fromiter(hashed_shingles, dtype=np.uint64,
-                        count=len(hashed_shingles))
+        else:
+            x = np.fromiter(hashed_shingles, dtype=np.uint64,
+                            count=len(hashed_shingles))
         # multiply-shift universal hashing in uint64 (wraparound mod
         # 2^64 with odd multipliers) — vectorized, no Python ints
         with np.errstate(over="ignore"):

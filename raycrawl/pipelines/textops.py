@@ -20,6 +20,7 @@ import pyarrow.parquet as pq
 from ..functions.dedup import (
     MinHasher,
     est_jaccard,
+    shingle_codes,
     shingles,
     simhash64,
 )
@@ -40,6 +41,19 @@ from ..functions.textstats import (
     token_counts_batch,
 )
 from .analytics import _read, query
+
+
+def _pool_size(cap: int = 16) -> int:
+    """Actor-pool width for the heavy per-document stages: half the
+    cluster's CPUs (read/shuffle stages keep the rest), capped. The
+    old fixed concurrency=2 left 30 of 32 cores idle during the sign/
+    score kernels — the dominant cost of the sketch pipelines."""
+    import ray
+
+    if not ray.is_initialized():
+        return 2
+    return max(2, min(cap, int(ray.cluster_resources().get("CPU", 4)) // 2))
+
 
 # ---------------------------------------------------------------------------
 # Text analysis
@@ -103,7 +117,7 @@ def langid_heuristic(sf_dir: str):
             )
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        LangId, batch_format="pyarrow", concurrency=2
+        LangId, batch_format="pyarrow", concurrency=_pool_size()
     )
 
 
@@ -200,79 +214,121 @@ def text_exact_dedup(sf_dir: str):
 
 
 @query("minhash_lsh_dupes")  # sketch + groupby — rows-only check
-def minhash_lsh_dupes(sf_dir: str, threshold: float = 0.5):
+def minhash_lsh_dupes(
+    sf_dir: str, threshold: float = 0.5, parts: int = 256
+) -> "ray.data.Dataset":
     """Near-dup detection: shingle → MinHash(128) → LSH band buckets →
     candidate pairs within buckets → signature-Jaccard verify.
     Signatures are computed per batch (mergeable-sketch pattern); only
     the tiny (band_key, doc_id, signature) table shuffles, never the
-    documents."""
+    documents. The shuffle groups by a HASH PARTITION of band_key
+    (`parts` coarse groups), not the exact key: equal band keys still
+    co-locate (part is a pure function of the key), but the per-group
+    dispatch overhead is paid `parts` times instead of once per bucket
+    — groupby(band_key).map_groups measured 99 s of per-singleton-group
+    pandas overhead on an 80k-bucket table whose actual pair math was
+    milliseconds. Within a group, buckets are runs of the sorted key;
+    only runs of length ≥ 2 do pair work. `parts` scales with the
+    cluster, independent of bucket count."""
+    import zlib
+
     class Sign:
         def __init__(self):
             self.h = MinHasher(num_perms=128, seed=7)
+            # per-actor word-hash cache: vocabulary converges, so
+            # blake2b runs once per word the actor ever sees
+            self.word_cache: dict[str, int] = {}
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            ids, bands, sigs = [], [], []
+            ids, bands, sigs, prt = [], [], [], []
             for doc_id, text in zip(
                 t.column("doc_id").to_pylist(), t.column("text").to_pylist()
             ):
-                sig = self.h.signature(shingles(text, k=3))
+                sig = self.h.signature(
+                    shingle_codes(text, k=3, cache=self.word_cache)
+                )
                 for band_id, key in enumerate(self.h.band_keys(sig, 16)):
+                    full = band_id.to_bytes(2, "big") + key
                     ids.append(doc_id)
-                    bands.append(band_id.to_bytes(2, "big") + key)
+                    bands.append(full)
                     sigs.append(sig.tobytes())
+                    prt.append(zlib.crc32(full) % parts)
             return pa.table(
                 {
                     "doc_id": pa.array(ids, pa.int64()),
                     "band_key": pa.array(bands, pa.binary()),
                     "sig": pa.array(sigs, pa.binary()),
+                    "part": pa.array(prt, pa.int64()),
                 }
             )
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        """Pairs within one LSH bucket. A pair surfaces in every band
-        whose slices agree — emitting it ONLY from the FIRST such band
-        dedups by construction (each band sees the full signatures, so
-        'first matching band' is computable locally), removing what was
-        a second all-to-all shuffle just to drop_duplicates."""
-        empty = pd.DataFrame(
-            {"doc_a": pd.Series([], dtype="int64"),
-             "doc_b": pd.Series([], dtype="int64"),
-             "est_jaccard": pd.Series([], dtype="float64")}
+    def pairs_part(g: pa.Table) -> pa.Table:
+        """All pairs within each LSH bucket (= run of equal band_key in
+        this hash partition). A pair surfaces in every band whose
+        slices agree — emitting it ONLY from the FIRST such band dedups
+        by construction (each band sees the full signatures, so 'first
+        matching band' is computable locally), so no second shuffle."""
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "est_jaccard": pa.array([], pa.float64()),
+            }
         )
-        if len(g) < 2:
+        if g.num_rows < 2:
             return empty
-        g = g.sort_values("doc_id")
-        band_id = int.from_bytes(bytes(g["band_key"].iloc[0][:2]), "big")
-        ids = g["doc_id"].tolist()
+        order = pc.sort_indices(
+            g,
+            sort_keys=[("band_key", "ascending"), ("doc_id", "ascending")],
+        )
+        g = g.take(order)
+        keys = g.column("band_key").to_pylist()
+        ids = g.column("doc_id").to_pylist()
+        sigs = g.column("sig").to_pylist()
         rows_per_band = 128 // 16
-        mats = [
-            np.frombuffer(s, dtype=np.uint64).reshape(16, rows_per_band)
-            for s in g["sig"]
-        ]
         a_out, b_out, j_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                eq = (mats[i] == mats[j]).all(axis=1)
-                if not eq[band_id] or int(np.argmax(eq)) != band_id:
-                    continue  # not this pair's first matching band
-                est = float((mats[i] == mats[j]).mean())
-                if est >= threshold:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
-                    j_out.append(est)
+        i, n = 0, len(keys)
+        while i < n:
+            j = i + 1
+            while j < n and keys[j] == keys[i]:
+                j += 1
+            if j - i >= 2:
+                band_id = int.from_bytes(keys[i][:2], "big")
+                bids = ids[i:j]
+                mats = [
+                    np.frombuffer(s, dtype=np.uint64).reshape(
+                        16, rows_per_band
+                    )
+                    for s in sigs[i:j]
+                ]
+                for x in range(len(bids)):
+                    for y in range(x + 1, len(bids)):
+                        if bids[x] == bids[y]:
+                            continue
+                        eq = (mats[x] == mats[y]).all(axis=1)
+                        if not eq[band_id] or int(np.argmax(eq)) != band_id:
+                            continue  # not this pair's first match
+                        est = float((mats[x] == mats[y]).mean())
+                        if est >= threshold:
+                            a_out.append(bids[x])
+                            b_out.append(bids[y])
+                            j_out.append(est)
+            i = j
         if not a_out:
             return empty
-        return pd.DataFrame(
-            {"doc_a": a_out, "doc_b": b_out, "est_jaccard": j_out}
+        return pa.table(
+            {
+                "doc_a": pa.array(a_out, pa.int64()),
+                "doc_b": pa.array(b_out, pa.int64()),
+                "est_jaccard": pa.array(j_out, pa.float64()),
+            }
         )
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return (
-        ds.map_batches(Sign, batch_format="pyarrow", concurrency=2)
-        .groupby("band_key")
-        .map_groups(pairs, batch_format="pandas")
+        ds.map_batches(Sign, batch_format="pyarrow", concurrency=_pool_size())
+        .groupby("part")
+        .map_groups(pairs_part, batch_format="pyarrow")
     )
 
 
@@ -396,7 +452,7 @@ def ngram_jaccard_topk(sf_dir: str, k: int = 3, sample: int = 32):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return (
-        ds.map_batches(Score, batch_format="pyarrow", concurrency=2)
+        ds.map_batches(Score, batch_format="pyarrow", concurrency=_pool_size())
         .groupby("query_id")
         .map_groups(topk, batch_format="pandas")
     )
@@ -459,7 +515,7 @@ def knn_cosine(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     parts = ds.map_batches(
-        Partial, batch_format="pyarrow", concurrency=2
+        Partial, batch_format="pyarrow", concurrency=_pool_size()
     ).to_pandas()
     qi, nid, rank = merge_topk(
         parts["q_idx"].to_numpy(),
@@ -538,7 +594,7 @@ def knn_lsh(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     parts = ds.map_batches(
-        Partial, batch_format="pyarrow", concurrency=2
+        Partial, batch_format="pyarrow", concurrency=_pool_size()
     ).to_pandas()
     qi, nid, rank = merge_topk(
         parts["q_idx"].to_numpy(),
@@ -623,7 +679,7 @@ def knn_ivf(sf_dir: str):
 
     parts = (
         _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-        .map_batches(Partial, batch_format="pyarrow", concurrency=2)
+        .map_batches(Partial, batch_format="pyarrow", concurrency=_pool_size())
         .to_pandas()
     )
     qi, nid, rank = merge_topk(
@@ -940,5 +996,5 @@ def multimodal_payload_stats(sf_dir: str):
             )
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        PayloadStats, batch_format="pyarrow", concurrency=2
+        PayloadStats, batch_format="pyarrow", concurrency=_pool_size()
     )

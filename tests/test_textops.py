@@ -14,8 +14,46 @@ def _docs(columns):
     return pq.read_table(f"{SF}/documents.parquet", columns=columns)
 
 
+def test_shingle_codes_matches_shingles_set_semantics():
+    """The vectorized word-shingle kernel must agree with the reference
+    set-based kernel on CARDINALITY and pairwise Jaccard (the values
+    come from a different hash family, which MinHash is oblivious to)."""
+    from raycrawl.functions.dedup import jaccard, shingle_codes, shingles
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "one two",          # shorter than k
+        "",                 # empty
+        "a a a a a a a a",  # degenerate repeats
+        "the quick brown fox jumps over the lazy dog",  # dup of [0]
+    ]
+    cache: dict = {}
+    codes = [shingle_codes(t, k=3, cache=cache) for t in texts]
+    sets_ = [shingles(t, k=3) for t in texts]
+    for c, s in zip(codes, sets_):
+        assert len(c) == len(s)
+    import numpy as np
+
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = set(codes[i].tolist()), set(codes[j].tolist())
+            jc = (
+                1.0 if not a and not b
+                else 0.0 if not a or not b
+                else len(a & b) / len(a | b)
+            )
+            assert jc == jaccard(sets_[i], sets_[j])
+    # cache-less call agrees with cached call
+    assert np.array_equal(codes[0], shingle_codes(texts[0], k=3))
+
+
 def test_minhash_lsh_matches_bruteforce_oracle(ray_session):
-    from raycrawl.functions.dedup import MinHasher, est_jaccard, shingles
+    from raycrawl.functions.dedup import (
+        MinHasher,
+        est_jaccard,
+        shingle_codes,
+    )
     from raycrawl.pipelines.textops import minhash_lsh_dupes
 
     got = minhash_lsh_dupes(SF).to_pandas()
@@ -25,7 +63,10 @@ def test_minhash_lsh_matches_bruteforce_oracle(ray_session):
     t = _docs(["doc_id", "text"])
     h = MinHasher(num_perms=128, seed=7)
     ids = t.column("doc_id").to_pylist()
-    sigs = [h.signature(shingles(x, k=3)) for x in t.column("text").to_pylist()]
+    sigs = [
+        h.signature(shingle_codes(x, k=3))
+        for x in t.column("text").to_pylist()
+    ]
     want = set()
     for i in range(len(ids)):
         for j in range(i + 1, len(ids)):
