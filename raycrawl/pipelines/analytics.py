@@ -360,7 +360,11 @@ def anti_join_unseen(sf_dir: str):
 )
 def metrics_rollup(sf_dir: str):
     """A5 per-second op counters rolled up (redis-metrics analogue,
-    lib/crawlerFactory.js:264-277)."""
+    lib/crawlerFactory.js:264-277). NOTE: a per-batch partial-count
+    combiner was tried and measured 3-4x SLOWER here — the events
+    table has ~2.6 rows per (type, minute) group, so partials cannot
+    shrink the shuffle and only add per-batch group_by cost; the plain
+    distributed aggregate is the right shape at this group density."""
     from ray.data.aggregate import Count
 
     def add_minute(t: pa.Table) -> pa.Table:
@@ -384,7 +388,9 @@ def metrics_rollup(sf_dir: str):
 )
 def rate_limit_violations(sf_dir: str):
     """T4 fixed-window rate limiter: windows where a key exceeds its
-    budget (inmemoryRateLimiter.js:17-36 `over = count > limit`)."""
+    budget (inmemoryRateLimiter.js:17-36 `over = count > limit`).
+    Plain distributed aggregate — see the metrics_rollup note on why a
+    partial-count combiner loses at this group density."""
     from ray.data.aggregate import Count
 
     def add_minute(t: pa.Table) -> pa.Table:
