@@ -308,6 +308,30 @@ def test_fetcher_injection(corpus, tmp_path):
     assert result.deadlettered == 2
 
 
+def test_pull_politeness_with_spill_same_result(corpus, oracle, tmp_path, ray_session):
+    """Shard-side gate × frontier spill: deferred rows re-enter the
+    pending runs and may spill under a tiny pending_cap; the crawl must
+    still converge to the exact oracle set (gate defers carry future
+    not_before through the spill round-trip)."""
+    cfg = CrawlConfig(
+        state_dir=str(tmp_path / "state"),
+        mode="ray",
+        ray_exec="pull",
+        num_shards=3,
+        host_rate_per_sec=5,
+        fetch_concurrency=2,
+        fetch_batch_size=16,
+        pending_cap=8,
+    )
+    result = CrawlEngine(corpus, cfg).run(seeds=default_seeds(2))
+    _check_against_oracle(corpus, result, oracle)
+    mets = {m["name"]: 0 for m in result.metrics.to_pylist()}
+    for m in result.metrics.to_pylist():
+        mets[m["name"]] += m["value"]
+    assert mets.get("defer", 0) > 0
+    assert mets.get("spilled", 0) > 0  # the cap actually forced spill
+
+
 def test_pull_binding_politeness_same_result(corpus, oracle, tmp_path, ray_session):
     """A binding per-host rate limit under the pull executor: the gate
     runs INSIDE each shard's take() (one pull cycle == one logical
