@@ -1,8 +1,8 @@
 """Pure-numpy codecs for uncompressed media formats.
 
 The container ships no image/audio libraries, but uncompressed formats
-need none: BMP (24-bit BI_RGB), PPM (P6, maxval 255) and WAV (PCM16)
-are plain headers over raw sample arrays. These decoders make the
+need none: BMP (24-bit BI_RGB), the netpbm family (PPM P6 / PGM P5 /
+PBM P4) and WAV (PCM16) are plain headers over raw sample arrays. These decoders make the
 multimodal stages' default path REAL for those formats — the
 deterministic fake remains only for compressed formats (JPEG/MP3/...)
 whose codecs are genuinely absent.
@@ -24,9 +24,35 @@ def sniff_format(payload: bytes) -> str | None:
         return "bmp"
     if payload[:2] == b"P6":
         return "ppm"
+    if payload[:2] == b"P5":
+        return "pgm"
+    if payload[:2] == b"P4":
+        return "pbm"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     return None
+
+
+def _netpbm_header(
+    payload: bytes, magic: bytes, n_tokens: int
+) -> tuple[list[int], int]:
+    """Parse an ASCII netpbm header (``#`` comments allowed): returns
+    (tokens, offset of the raster after the single whitespace byte)."""
+    if payload[:2] != magic:
+        raise ValueError(f"not a {magic.decode()} payload")
+    pos, tokens = 2, []
+    while len(tokens) < n_tokens:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] not in (10, 13):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    return tokens, pos + 1  # skip the single whitespace after the header
 
 
 # -- BMP (Windows V3, 24-bit uncompressed) ----------------------------------
@@ -82,22 +108,7 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     """P6 PPM → (h, w, 3) uint8 RGB. Header is ASCII tokens (with
     ``#`` comments) followed by a single whitespace byte, then raw
     RGB triplets."""
-    if payload[:2] != b"P6":
-        raise ValueError("not a P6 PPM payload")
-    pos, tokens = 2, []
-    while len(tokens) < 3:
-        while pos < len(payload) and payload[pos : pos + 1].isspace():
-            pos += 1
-        if payload[pos : pos + 1] == b"#":  # comment to end of line
-            while pos < len(payload) and payload[pos] not in (10, 13):
-                pos += 1
-            continue
-        start = pos
-        while pos < len(payload) and not payload[pos : pos + 1].isspace():
-            pos += 1
-        tokens.append(int(payload[start:pos]))
-    pos += 1  # the single whitespace after maxval
-    w, h, maxval = tokens
+    (w, h, maxval), pos = _netpbm_header(payload, b"P6", 3)
     if maxval > 255:
         raise ValueError("16-bit PPM not supported")
     return (
@@ -110,6 +121,50 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 def encode_ppm(img: np.ndarray) -> bytes:
     h, w, _ = img.shape
     return f"P6\n{w} {h}\n255\n".encode() + img.astype(np.uint8).tobytes()
+
+
+# -- PGM (P5 binary grayscale, maxval <= 255) -------------------------------
+
+
+def decode_pgm(payload: bytes) -> np.ndarray:
+    """P5 PGM → (h, w) uint8 grayscale."""
+    (w, h, maxval), pos = _netpbm_header(payload, b"P5", 3)
+    if maxval > 255:
+        raise ValueError("16-bit PGM not supported")
+    return (
+        np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=pos)
+        .reshape(h, w)
+        .copy()
+    )
+
+
+def encode_pgm(img: np.ndarray) -> bytes:
+    h, w = img.shape
+    return f"P5\n{w} {h}\n255\n".encode() + img.astype(np.uint8).tobytes()
+
+
+# -- PBM (P4 binary bitmap, 1 bit/pixel, MSB first, row-padded) -------------
+
+
+def decode_pbm(payload: bytes) -> np.ndarray:
+    """P4 PBM → (h, w) uint8 in {0, 255}. On disk 1 = black; rows pad
+    to whole bytes, MSB-first — one vectorized unpackbits per image."""
+    (w, h), pos = _netpbm_header(payload, b"P4", 2)
+    row_bytes = (w + 7) // 8
+    raw = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * h, offset=pos
+    ).reshape(h, row_bytes)
+    bits = np.unpackbits(raw, axis=1)[:, :w]  # MSB-first per byte
+    return np.where(bits == 1, 0, 255).astype(np.uint8)  # 1=black
+
+
+def encode_pbm(img: np.ndarray) -> bytes:
+    """(h, w) array (0 = black, nonzero = white, matching decode_pbm's
+    output convention) → P4 bytes."""
+    h, w = img.shape
+    bits = (img == 0).astype(np.uint8)  # black -> 1
+    packed = np.packbits(bits, axis=1)  # pads rows to whole bytes
+    return f"P4\n{w} {h}\n".encode() + packed.tobytes()
 
 
 # -- WAV (RIFF, PCM 16-bit) -------------------------------------------------

@@ -169,13 +169,28 @@ def jaccard(a: set[int], b: set[int]) -> float:
     return len(a & b) / len(a | b)
 
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens (unit weights), vectorized."""
+def simhash64(text: str, cache: dict | None = None) -> int:
+    """64-bit SimHash over word tokens (unit weights), vectorized.
+    Optional word-hash ``cache`` (persistent-actor pattern): blake2b
+    runs once per word the caller ever sees."""
     words = text.split()
     if not words:
         return 0
-    hashes = np.fromiter((_stable_hash64(w) for w in words),
-                         dtype=np.uint64, count=len(words))
+    if cache is None:
+        hashes = np.fromiter((_stable_hash64(w) for w in words),
+                             dtype=np.uint64, count=len(words))
+    else:
+        if len(cache) > 4_000_000:  # bound memory on open vocabulary
+            cache.clear()
+        hashes = np.fromiter(
+            (
+                cache[w] if w in cache
+                else cache.setdefault(w, _stable_hash64(w))
+                for w in words
+            ),
+            dtype=np.uint64,
+            count=len(words),
+        )
     bits = (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1
     acc = np.where(bits.astype(bool), 1, -1).sum(axis=0)
     out = int(

@@ -334,19 +334,27 @@ def minhash_lsh_dupes(
 
 @query("simhash_fingerprints")  # rows-only check
 def simhash_fingerprints(sf_dir: str):
-    def fp(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "simhash": pa.array(
-                    [simhash64(x) for x in t.column("text").to_pylist()],
-                    pa.int64(),
-                ),
-            }
-        )
+    class Fp:
+        def __init__(self):
+            # per-actor word-hash cache (vocabulary converges)
+            self.word_cache: dict[str, int] = {}
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "simhash": pa.array(
+                        [
+                            simhash64(x, cache=self.word_cache)
+                            for x in t.column("text").to_pylist()
+                        ],
+                        pa.int64(),
+                    ),
+                }
+            )
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        fp, batch_format="pyarrow"
+        Fp, batch_format="pyarrow", concurrency=_pool_size()
     )
 
 

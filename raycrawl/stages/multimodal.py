@@ -61,17 +61,26 @@ class ImageDecodeStage:
         self.fake = fake
 
     def _decode_one(self, payload: bytes) -> np.ndarray:
-        from ..functions.codecs import decode_bmp, decode_ppm, sniff_format
+        from ..functions.codecs import (
+            decode_bmp,
+            decode_pbm,
+            decode_pgm,
+            decode_ppm,
+            sniff_format,
+        )
 
         kind = sniff_format(payload)
         if kind == "bmp":
             return decode_bmp(payload)
         if kind == "ppm":
             return decode_ppm(payload)
+        if kind in ("pgm", "pbm"):
+            gray = decode_pgm(payload) if kind == "pgm" else decode_pbm(payload)
+            return np.repeat(gray[:, :, None], 3, axis=2)  # gray -> RGB
         if not self.fake:
             raise NotImplementedError(
-                "only BMP/PPM decode codec-free; this payload needs an "
-                "image library (PIL/cv2) not present in this "
+                "only BMP/PPM/PGM/PBM decode codec-free; this payload "
+                "needs an image library (PIL/cv2) not present in this "
                 "environment — pass fake=True for the deterministic "
                 "stand-in"
             )

@@ -68,6 +68,57 @@ def test_ppm_roundtrip_and_comments():
     assert (decode_ppm(with_comment) == img).all()
 
 
+def test_pgm_roundtrip_and_comments():
+    from raycrawl.functions.codecs import decode_pgm, encode_pgm
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, size=(4, 6), dtype=np.uint8)
+    assert (decode_pgm(encode_pgm(img)) == img).all()
+    with_comment = b"P5\n# gray\n6 4\n255\n" + img.tobytes()
+    assert (decode_pgm(with_comment) == img).all()
+
+
+def test_pbm_roundtrip_bit_packing():
+    from raycrawl.functions.codecs import decode_pbm, encode_pbm
+
+    rng = np.random.default_rng(10)
+    # w=11 exercises the row padding to whole bytes (MSB-first)
+    img = rng.choice([0, 255], size=(5, 11)).astype(np.uint8)
+    assert (decode_pbm(encode_pbm(img)) == img).all()
+    # explicit fixture: one row "10110000 011xxxxx" => pixels 1,3,4,9,10 black
+    raw = b"P4\n11 1\n" + bytes([0b10110000, 0b01100000])
+    got = decode_pbm(raw)
+    want = np.full((1, 11), 255, dtype=np.uint8)
+    want[0, [0, 2, 3, 9, 10]] = 0
+    assert (got == want).all()
+
+
+def test_image_decode_stage_gray_formats():
+    from raycrawl.functions.codecs import encode_pbm, encode_pgm
+    from raycrawl.stages.multimodal import ImageDecodeStage
+
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, size=(4, 5), dtype=np.uint8)
+    bw = rng.choice([0, 255], size=(4, 5)).astype(np.uint8)
+    stage = ImageDecodeStage()
+    t = pa.table(
+        {
+            "media_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array(
+                [encode_pgm(gray), encode_pbm(bw)], pa.binary()
+            ),
+        }
+    )
+    out = stage(t)
+    assert out.column("height").to_pylist() == [4, 4]
+    assert out.column("width").to_pylist() == [5, 5]
+    # grayscale replicates to RGB: channel means equal the gray mean
+    assert out.column("mean_r").to_pylist() == pytest.approx(
+        [gray.mean(), bw.mean()]
+    )
+    assert out.column("mean_r").to_pylist() == out.column("mean_g").to_pylist()
+
+
 def test_wav_roundtrip_stereo():
     from raycrawl.functions.codecs import decode_wav, encode_wav
 
