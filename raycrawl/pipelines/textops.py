@@ -111,7 +111,9 @@ def langid_heuristic(sf_dir: str):
 
     class LangId:
         def __call__(self, t: pa.Table) -> pa.Table:
-            preds = [langid(x) for x in t.column("text").to_pylist()]
+            from ..functions.textstats import langid_batch
+
+            preds = langid_batch(t.column("text").to_pylist())
             return pa.table(
                 {"doc_id": t["doc_id"], "lang_pred": pa.array(preds)}
             )

@@ -148,6 +148,24 @@ def test_langid_heuristic_sane():
     assert langid("") == "und"
 
 
+def test_langid_batch_matches_scalar():
+    """The one-pass bitmask batch kernel must agree with the scalar
+    4-pass kernel on every document, including overlap-heavy tie cases
+    ('de'/'la'/'es' are stopwords in several languages)."""
+    from raycrawl.functions.textstats import langid, langid_batch
+
+    texts = [
+        "the and of to in is that it was for on",
+        "der die das und ist ein",
+        "le la les et est un une",
+        "el la los y es un una de en que",
+        "de la es",              # all-overlap tie
+        "",
+        "xyzzy qwerty plugh",    # no stopword hits
+    ] + _docs(["text"]).column("text").to_pylist()[:200]
+    assert langid_batch(texts) == [langid(t) for t in texts]
+
+
 def test_knn_ivf_recall_vs_bruteforce(ray_session):
     from raycrawl.pipelines.textops import knn_cosine, knn_ivf
 
