@@ -169,15 +169,30 @@ def jaccard(a: set[int], b: set[int]) -> float:
     return len(a & b) / len(a | b)
 
 
+def _md5_low64(token: str) -> int:
+    """Lower 64 bits of md5 (little-endian) — the SimHash word-hash
+    family. Chosen over blake2b so the DuckDB oracle can mirror it
+    exactly (`md5_number_lower`); equally deterministic/uniform."""
+    return int.from_bytes(
+        hashlib.md5(token.encode("utf-8")).digest()[8:16], "little"
+    )
+
+
 def simhash64(text: str, cache: dict | None = None) -> int:
     """64-bit SimHash over word tokens (unit weights), vectorized.
-    Optional word-hash ``cache`` (persistent-actor pattern): blake2b
-    runs once per word the caller ever sees."""
-    words = text.split()
+    Words are runs of non-whitespace over the EXPLICIT class
+    [ \\t\\n\\r\\f\\v] (textstats.WORD_REGEX) so the SQL oracle's
+    `regexp_extract_all` tokenizes identically; word hashes are
+    md5-lower-64 (`md5_number_lower` in DuckDB). Optional word-hash
+    ``cache`` (persistent-actor pattern): md5 runs once per word the
+    caller ever sees."""
+    from .textstats import WORD_REGEX
+
+    words = WORD_REGEX.findall(text)
     if not words:
         return 0
     if cache is None:
-        hashes = np.fromiter((_stable_hash64(w) for w in words),
+        hashes = np.fromiter((_md5_low64(w) for w in words),
                              dtype=np.uint64, count=len(words))
     else:
         if len(cache) > 4_000_000:  # bound memory on open vocabulary
@@ -185,7 +200,7 @@ def simhash64(text: str, cache: dict | None = None) -> int:
         hashes = np.fromiter(
             (
                 cache[w] if w in cache
-                else cache.setdefault(w, _stable_hash64(w))
+                else cache.setdefault(w, _md5_low64(w))
                 for w in words
             ),
             dtype=np.uint64,

@@ -104,7 +104,52 @@ def lang_agg(sf_dir: str):
     )
 
 
-@query("langid_heuristic")  # heuristic — rows-only check
+def _stopword_in_list(lang: str) -> str:
+    from ..functions.textstats import _STOPWORDS
+
+    return ",".join(f"'{w}'" for w in sorted(_STOPWORDS[lang]))
+
+
+@query(
+    "langid_heuristic",
+    # exact SQL twin of textstats.langid: per-language stopword hit
+    # counts over lower(text) words, winner = first language in the
+    # fixed (en, de, fr, es) order whose count strictly beats all later
+    # ones (the >= chain encodes "later must strictly beat"), no hits
+    # -> 'und'. Tokenizer parity: the kernel uses str.split() and the
+    # oracle the explicit non-whitespace class — identical on inputs
+    # whose only whitespace is [ \t\n\r\f\v] (the corpus is ASCII;
+    # str.split() additionally splits on \x1c-\x1f/U+0085/unicode
+    # spaces, which never occur here). lower() parity: ASCII-safe.
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             UNNEST(regexp_extract_all(lower(text), '{WORD_REGEX_SQL}')) AS wd
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id,
+        SUM(CASE WHEN wd IN ({_stopword_in_list('en')}) THEN 1 ELSE 0 END) AS en,
+        SUM(CASE WHEN wd IN ({_stopword_in_list('de')}) THEN 1 ELSE 0 END) AS de,
+        SUM(CASE WHEN wd IN ({_stopword_in_list('fr')}) THEN 1 ELSE 0 END) AS fr,
+        SUM(CASE WHEN wd IN ({_stopword_in_list('es')}) THEN 1 ELSE 0 END) AS es
+      FROM w GROUP BY doc_id
+    ),
+    pick AS (
+      SELECT doc_id,
+        CASE
+          WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'und'
+          WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+          WHEN de >= fr AND de >= es THEN 'de'
+          WHEN fr >= es THEN 'fr'
+          ELSE 'es'
+        END AS lang_pred
+      FROM hits
+    )
+    SELECT d.doc_id, COALESCE(p.lang_pred, 'und') AS lang_pred
+    FROM documents d LEFT JOIN pick p USING (doc_id)
+    """,
+)
 def langid_heuristic(sf_dir: str):
     """Language-ID via stopword-ratio heuristic (actor-pool stage: the
     stopword tables load once per actor)."""
@@ -165,7 +210,32 @@ def quality_scores(sf_dir: str):
     )
 
 
-@query("doc_fingerprints")  # FNV rolling hash — rows-only check
+@query(
+    "doc_fingerprints",
+    # exact SQL twin of textstats.fingerprint: Horner over the utf-8
+    # bytes in HUGEINT with explicit mod-2^64 wraparound (a*P never
+    # exceeds 2^104 < HUGEINT range), bytes recovered from the hex
+    # encoding (DuckDB 1.0 has no get_byte), final mask-to-63-bits
+    # = mod 2^63. list_reduce has no init arg -> prepend the offset.
+    """
+    WITH hx AS (
+      SELECT doc_id, hex(encode(text)) AS h,
+             octet_length(encode(text)) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(list_reduce(
+        list_prepend(CAST(14695981039346656037 AS HUGEINT),
+          list_transform(range(1, n + 1), i ->
+            CAST(strpos('0123456789ABCDEF', substr(h, CAST(2*i-1 AS INT), 1)) * 16
+                 + strpos('0123456789ABCDEF', substr(h, CAST(2*i AS INT), 1)) - 17
+                 AS HUGEINT))),
+        (a, x) -> (a * 1099511628211 + x + 1)
+                  % CAST(18446744073709551616 AS HUGEINT)
+      ) % CAST(9223372036854775808 AS HUGEINT) AS BIGINT) AS fingerprint
+    FROM hx
+    """,
+)
 def doc_fingerprints(sf_dir: str):
     def fp(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -334,7 +404,38 @@ def minhash_lsh_dupes(
     )
 
 
-@query("simhash_fingerprints")  # rows-only check
+@query(
+    "simhash_fingerprints",
+    # exact SQL twin of dedup.simhash64: word hash = md5-lower-64
+    # little-endian (md5_number_lower), unit weights, bit b set when
+    # ones > zeros strictly (2*ones > n). Only bits 0..62 are summed —
+    # the kernel masks bit 63 to stay in int64. Empty docs -> 0 via
+    # the LEFT JOIN (UNNEST of an empty word list emits no rows).
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             md5_number_lower(
+               UNNEST(regexp_extract_all(text, '{WORD_REGEX_SQL}'))) AS h
+      FROM documents
+    ),
+    b AS (
+      SELECT w.doc_id, bb.b,
+             SUM(CAST((h >> CAST(bb.b AS UBIGINT)) & 1 AS HUGEINT)) AS ones,
+             COUNT(*) AS n
+      FROM w CROSS JOIN (SELECT UNNEST(range(63)) AS b) bb
+      GROUP BY w.doc_id, bb.b
+    ),
+    s AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN 2 * ones > n
+                 THEN (CAST(1 AS HUGEINT) << CAST(b AS INT))
+                 ELSE 0 END) AS BIGINT) AS simhash
+      FROM b GROUP BY doc_id
+    )
+    SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+    FROM documents d LEFT JOIN s USING (doc_id)
+    """,
+)
 def simhash_fingerprints(sf_dir: str):
     class Fp:
         def __init__(self):
@@ -360,7 +461,43 @@ def simhash_fingerprints(sf_dir: str):
     )
 
 
-@query("ngram_jaccard_topk")  # rows-only check
+@query(
+    "ngram_jaccard_topk",
+    # exact SQL twin (mirrors the defaults k=3, sample=32): the
+    # kernel's trigram->uint64 mapping is bijective with the 3-char
+    # substrings, so intersection/union counts — and hence the exact
+    # double-precision Jaccard — match list_intersect on the substring
+    # sets; ranking ties broken identically (jac DESC, doc_id ASC).
+    # Docs shorter than 3 chars would diverge (kernel hashes the whole
+    # text, SQL yields an empty set) — none exist in the corpus and
+    # min doc length is asserted in tests.
+    """
+    WITH tri AS (
+      SELECT doc_id,
+        list_distinct(list_transform(range(1, length(text) - 1),
+                                     i -> substr(text, CAST(i AS INT), 3))) AS tg
+      FROM documents
+    ),
+    probes AS (
+      SELECT doc_id AS query_id, tg AS ptg FROM tri ORDER BY doc_id LIMIT 32
+    ),
+    scored AS (
+      SELECT p.query_id, d.doc_id,
+        CAST(len(list_intersect(p.ptg, d.tg)) AS DOUBLE)
+          / (len(p.ptg) + len(d.tg) - len(list_intersect(p.ptg, d.tg))) AS jac
+      FROM probes p CROSS JOIN tri d
+      WHERE d.doc_id != p.query_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY jac DESC, doc_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
 def ngram_jaccard_topk(sf_dir: str, k: int = 3, sample: int = 32):
     """Char-3-gram Jaccard top-k within a fixed sample of docs. The
     query sample is broadcast as (vocab, probe-bitmask) arrays; each
@@ -388,9 +525,15 @@ def ngram_jaccard_topk(sf_dir: str, k: int = 3, sample: int = 32):
         raise ValueError(
             f"sample={sample} > 64: probe bitmask is a single uint64"
         )
-    probe = pq.read_table(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
-    ).slice(0, sample)
+    # probe set = the `sample` SMALLEST doc_ids (order-stable contract;
+    # file order happens to be sorted but is not relied on)
+    probe = (
+        pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .sort_by("doc_id")
+        .slice(0, sample)
+    )
     probe_ids = probe.column("doc_id").to_pylist()
     probe_codes = [
         char_trigram_codes(t) for t in probe.column("text").to_pylist()

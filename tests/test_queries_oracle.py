@@ -69,7 +69,8 @@ def test_all_queries_have_callables(registry):
         "top_sources", "topk_orders_per_status", "events_sessionize",
         "text_token_stats", "lang_agg", "text_exact_dedup", "knn_cosine",
         "label_counts", "multimodal_payload_stats", "quality_scores",
-        "embedding_near_dup",
+        "embedding_near_dup", "langid_heuristic", "doc_fingerprints",
+        "simhash_fingerprints", "ngram_jaccard_topk",
     ],
 )
 def test_query_matches_oracle(registry, con, name):
@@ -81,12 +82,21 @@ def test_query_matches_oracle(registry, con, name):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_corpus_min_doc_length(registry):
+    """The ngram_jaccard_topk oracle's substring trigram sets match the
+    kernel's bijective codes only for docs of length >= 3 (shorter docs
+    hash the whole text, which SQL cannot mirror) — guard the corpus
+    assumption the oracle docstring states."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])
+    assert min(len(x) for x in t.column("text").to_pylist()) >= 3
+
+
 @pytest.mark.parametrize(
     "name",
     [
-        "langid_heuristic", "quality_scores", "doc_fingerprints",
-        "minhash_lsh_dupes", "simhash_fingerprints", "ngram_jaccard_topk",
-        "knn_lsh", "embedding_near_dup_lsh",
+        "minhash_lsh_dupes", "knn_lsh", "embedding_near_dup_lsh",
     ],
 )
 def test_rows_only_queries_run_and_are_deterministic(registry, name):
