@@ -45,7 +45,13 @@ def page_url(host_idx: int, page_idx: int) -> str:
 
 def _noncanonical_variant(url: str, rng: np.random.Generator) -> str:
     """Rewrite a canonical URL into an equivalent non-canonical form."""
-    kind = int(rng.integers(0, 4))
+    return _noncanonical_for_kind(url, int(rng.integers(0, 4)))
+
+
+def _noncanonical_for_kind(url: str, kind: int) -> str:
+    """Pure-function body of `_noncanonical_variant` (kind pre-drawn) —
+    lets the parallel corpus builder precompute every rng draw and keep
+    chunked generation byte-identical to the sequential loop."""
     scheme, rest = url.split("://", 1)
     host, path = rest.split("/", 1)
     if kind == 0:
@@ -151,51 +157,31 @@ def default_seeds(num_seed_hosts: int = 2) -> list[dict]:
     ]
 
 
-def corpus_from_documents(
-    docs: pa.Table,
-    *,
-    pages_per_doc: int = 1,
-    out_degree: int = 8,
-    seed: int = 42,
-    dangling_frac: float = 0.02,
-    variant_frac: float = 0.05,
-) -> pa.Table:
-    """Derive a deterministic pages corpus from a driver ``documents``
-    table (doc_id, text, lang, source): each doc spawns `pages_per_doc`
-    pages on a host named after its source, with page text drawn from
-    the doc text and a seeded skewed link graph. Used by the flagship
-    entry() / bench so the crawl input derives from /root/testdata."""
-    rng = np.random.default_rng(seed)
-    doc_ids = docs.column("doc_id").to_pylist()
-    texts = docs.column("text").to_pylist()
-    langs = docs.column("lang").to_pylist()
-    sources = docs.column("source").to_pylist()
-    n_docs = len(doc_ids)
-    n = n_docs * pages_per_doc
+# Page-build context for forked corpus workers: set in the parent
+# BEFORE the Pool forks, read copy-on-write by children — the big
+# (targets, dangle, kind) arrays are never pickled.
+_CHUNK_CTX: tuple | None = None
+
+# below this many pages the fork Pool costs more than it saves
+# (tests lower it to force the parallel path on tiny corpora)
+_PARALLEL_MIN_ROWS = 100_000
+
+
+def _build_pages_chunk(span: tuple[int, int]) -> pa.Table:
+    """Rows [lo, hi) of the pages corpus from the precomputed draw
+    arrays in `_CHUNK_CTX`. Pure function of the context + span, so any
+    chunking (including none) yields byte-identical concatenation."""
+    lo, hi = span
+    (pages_per_doc, doc_ids, texts, langs, sources,
+     targets, dangle, variant, kind_at) = _CHUNK_CTX
 
     def _url(i: int) -> str:
         d, p = divmod(i, pages_per_doc)
         return f"http://{sources[d]}.example.com/doc/{doc_ids[d]}/{p}"
 
-    # skew: link-target popularity ~ zipf over page index, mixed with a
-    # uniform floor (graph model v2). Pure zipf left ~42% of a 3M-page
-    # corpus with expected in-degree < 1 — unreachable from any seed
-    # set — and a BFS tail of ~15 levels holding <2k urls each, so the
-    # sandbox benchmark measured per-level RPC latency instead of
-    # throughput. Real web frontiers have hub skew AND a fat body: the
-    # 80/20 zipf/uniform mixture keeps hot hubs (max in-degree ~10^5 at
-    # 3M pages) while giving every page in-degree >= ~1.6 expected,
-    # which is what a 10^10-URL frontier's per-level population looks
-    # like. Seeded + deterministic as before.
-    w = 1.0 / (np.arange(n) + 1.0)
-    w /= w.sum()
-    w = 0.8 * w + 0.2 / n
-    targets = rng.choice(n, size=(n, out_degree), p=w)
-    dangle = rng.random((n, out_degree)) < dangling_frac
-    variant = rng.random((n, out_degree)) < variant_frac
-
+    out_degree = targets.shape[1]
     urls, tss, htmls, out_texts, out_langs = [], [], [], [], []
-    for i in range(n):
+    for i in range(lo, hi):
         d = i // pages_per_doc
         links = []
         for j in range(out_degree):
@@ -206,7 +192,7 @@ def corpus_from_documents(
                 continue
             target = _url(int(targets[i, j]))
             if variant[i, j]:
-                target = _noncanonical_variant(target, rng)
+                target = _noncanonical_for_kind(target, int(kind_at[i, j]))
             links.append(target)
         anchors = "".join(
             f'<a href="{link}">link {j}</a>' for j, link in enumerate(links)
@@ -231,6 +217,85 @@ def corpus_from_documents(
             "lang": pa.array(out_langs, pa.string()),
         }
     )
+
+
+def corpus_from_documents(
+    docs: pa.Table,
+    *,
+    pages_per_doc: int = 1,
+    out_degree: int = 8,
+    seed: int = 42,
+    dangling_frac: float = 0.02,
+    variant_frac: float = 0.05,
+    processes: int | None = None,
+) -> pa.Table:
+    """Derive a deterministic pages corpus from a driver ``documents``
+    table (doc_id, text, lang, source): each doc spawns `pages_per_doc`
+    pages on a host named after its source, with page text drawn from
+    the doc text and a seeded skewed link graph. Used by the flagship
+    entry() / bench so the crawl input derives from /root/testdata.
+
+    Every rng draw happens up front (the per-variant-link `kind` draws
+    are a single vectorized `integers(0, 4, size=variant.sum())`, which
+    NumPy guarantees consumes the PCG64 stream identically to the old
+    per-link scalar draws), so page construction is rng-free and runs
+    chunked across a fork Pool — output is byte-identical regardless of
+    `processes` (asserted in tests). The 3M-page bench corpus was a
+    ~7-minute single-core loop; chunks also bound peak Python-object
+    memory (each worker materializes ~n/chunks rows, the parent only
+    holds Arrow tables)."""
+    rng = np.random.default_rng(seed)
+    doc_ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    langs = docs.column("lang").to_pylist()
+    sources = docs.column("source").to_pylist()
+    n_docs = len(doc_ids)
+    n = n_docs * pages_per_doc
+
+    # skew: link-target popularity ~ zipf over page index, mixed with a
+    # uniform floor (graph model v2). Pure zipf left ~42% of a 3M-page
+    # corpus with expected in-degree < 1 — unreachable from any seed
+    # set — and a BFS tail of ~15 levels holding <2k urls each, so the
+    # sandbox benchmark measured per-level RPC latency instead of
+    # throughput. Real web frontiers have hub skew AND a fat body: the
+    # 80/20 zipf/uniform mixture keeps hot hubs (max in-degree ~10^5 at
+    # 3M pages) while giving every page in-degree >= ~1.6 expected,
+    # which is what a 10^10-URL frontier's per-level population looks
+    # like. Seeded + deterministic as before.
+    w = 1.0 / (np.arange(n) + 1.0)
+    w /= w.sum()
+    w = 0.8 * w + 0.2 / n
+    targets = rng.choice(n, size=(n, out_degree), p=w)
+    dangle = rng.random((n, out_degree)) < dangling_frac
+    variant = rng.random((n, out_degree)) < variant_frac
+    # kinds land on variant-AND-NOT-dangling cells in row-major order —
+    # exactly the cells (and the order) the old loop consumed scalar
+    # draws in: dangling links `continue` before the variant branch
+    draws = variant & ~dangle
+    kind_at = np.full((n, out_degree), -1, dtype=np.int8)
+    kind_at[draws] = rng.integers(
+        0, 4, size=int(draws.sum())
+    ).astype(np.int8)
+
+    global _CHUNK_CTX
+    _CHUNK_CTX = (pages_per_doc, doc_ids, texts, langs, sources,
+                  targets, dangle, variant, kind_at)
+    try:
+        import os
+
+        n_proc = processes if processes is not None else (os.cpu_count() or 4)
+        n_proc = max(1, min(n_proc, 32))
+        if n < _PARALLEL_MIN_ROWS or n_proc == 1:
+            return _build_pages_chunk((0, n))
+        import multiprocessing
+
+        step = max(1, -(-n // (n_proc * 4)))  # ~4 chunks per process
+        spans = [(lo, min(lo + step, n)) for lo in range(0, n, step)]
+        with multiprocessing.get_context("fork").Pool(n_proc) as pool:
+            parts = pool.map(_build_pages_chunk, spans)
+        return pa.concat_tables(parts)
+    finally:
+        _CHUNK_CTX = None
 
 
 def seeds_for_corpus(corpus: pa.Table, num_seeds: int = 4) -> list[dict]:

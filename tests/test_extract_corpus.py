@@ -36,6 +36,28 @@ def test_corpus_deterministic():
     assert not t1.equals(t3)
 
 
+def test_corpus_from_documents_chunking_invariant(monkeypatch):
+    """Parallel (forked-Pool) generation is byte-identical to the
+    sequential build — the per-variant-link kind draws are precomputed
+    in the exact order the old scalar loop consumed them, so chunk
+    boundaries cannot perturb any column. The Pool path is forced by
+    lowering the row-count gate."""
+    import pyarrow.parquet as pq
+
+    from raycrawl.corpus import corpus_from_documents
+
+    docs = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    seq = corpus_from_documents(docs, pages_per_doc=3, seed=11, processes=1)
+    import raycrawl.corpus as c
+
+    monkeypatch.setattr(c, "_PARALLEL_MIN_ROWS", 10)
+    par = corpus_from_documents(docs, pages_per_doc=3, seed=11, processes=4)
+    assert seq.equals(par)
+
+
 def test_corpus_text_invariant():
     """The oracle text column IS extract_text(html) — byte-identical."""
     t = make_pages_corpus(num_hosts=3, pages_per_host=5, seed=42)
