@@ -396,10 +396,31 @@ def minhash_lsh_dupes(
             }
         )
 
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # Block/partition sizing: Ray's sort-shuffle costs ~50 ms of
+    # scheduling per map/reduce task, so at bench scale the default 64
+    # read blocks -> 64+64 sort tasks spent 5.9 s of a 7.7 s query in
+    # the Sort barrier while every task carried ~1.4 MB. Hold ~64 MB of
+    # input per read block (floor: one per pool actor) and one shuffle
+    # partition per ~128 MB of signature table (floor: pool width) —
+    # at sf0.1 that is 16 blocks / 16 partitions (measured 7.7 -> 4.2 s
+    # end-to-end), at 100 TB both grow with the data and the shuffle
+    # fans out exactly as before.
+    import os
+
+    import ray.data
+
+    pool = _pool_size()
+    path = f"{sf_dir}/documents.parquet"
+    nblocks = max(pool, int(os.path.getsize(path)) // (64 << 20))
+    n_docs = pq.ParquetFile(path).metadata.num_rows
+    sig_bytes = n_docs * 16 * (2 + 64 + 1024)  # rows x (band+key+sig)
+    npartitions = max(pool, sig_bytes // (128 << 20))
+    ds = ray.data.read_parquet(
+        path, columns=["doc_id", "text"], override_num_blocks=nblocks
+    )
     return (
-        ds.map_batches(Sign, batch_format="pyarrow", concurrency=_pool_size())
-        .groupby("part")
+        ds.map_batches(Sign, batch_format="pyarrow", concurrency=pool)
+        .groupby("part", num_partitions=npartitions)
         .map_groups(pairs_part, batch_format="pyarrow")
     )
 
