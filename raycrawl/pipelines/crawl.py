@@ -133,6 +133,19 @@ class CrawlConfig:
     # restrict their affinity to the remaining cores so frontier RPCs
     # are not starved by compute-bound workers. 0 = off.
     reserve_cores: int = 0
+    # W3 fault tolerance: fetch workers restart up to this many times on
+    # actor death (OOM, node loss) and their in-flight process_range
+    # calls replay transparently (max_task_retries). Replay is
+    # AT-LEAST-ONCE: a partially-completed batch may have flushed some
+    # child offers (absorbed by the shards' insert-if-absent dedup) and
+    # spooled some document rows (salted per-incarnation part names;
+    # duplicates collapse in the last-wins `latest_documents`
+    # compaction), so the crawled URL-seen SET is exact under failure —
+    # only the docs/offered throughput counters can over-count by the
+    # replayed fraction. Post-constructor worker state (live-config
+    # deltas like set_track_host_cost) reverts to constructor values on
+    # restart. 0 = fail fast (round-2 behavior).
+    worker_max_restarts: int = 2
     snapshot_id: str = "s0"
     base_ts_us: int = BASE_TS_US + 86_400_000_000  # crawl clock: corpus ts + 1d
 
@@ -368,7 +381,13 @@ class CrawlEngine:
             )
             if total > cfg.reserve_cores + 1:
                 pin = tuple(range(cfg.reserve_cores, total))
-        worker_cls = ray.remote(num_cpus=1)(CrawlWorkerStage)
+        worker_cls = ray.remote(
+            num_cpus=1,
+            max_restarts=cfg.worker_max_restarts,
+            # retry an in-flight call once per allowed restart — bounded
+            # by max_restarts, so a poison batch cannot loop forever
+            max_task_retries=(-1 if cfg.worker_max_restarts else 0),
+        )(CrawlWorkerStage)
         return worker_cls.remote(
             self.corpus_ref,
             self.index_ref,

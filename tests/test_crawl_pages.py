@@ -308,6 +308,75 @@ def test_fetcher_injection(corpus, tmp_path):
     assert result.deadlettered == 2
 
 
+@pytest.mark.parametrize("ray_exec", ["pull", "actors"])
+def test_worker_death_replays_inflight_ranges(
+    corpus, oracle, tmp_path, ray_session, ray_exec
+):
+    """W3 fault tolerance: a fetch worker that dies mid-crawl (OOM/node
+    loss stand-in: os._exit inside the fetcher) restarts via
+    max_restarts and its in-flight process_range calls replay via
+    max_task_retries. Replay is at-least-once — re-offered children are
+    absorbed by the shards' insert-if-absent dedup and re-spooled doc
+    rows collapse by url — so the crawled SET, per-url text, and
+    deadletter set must all stay exactly the BFS oracle's."""
+    import os as _os
+
+    from raycrawl.stages.fetch import TableFetcher
+
+    marker = str(tmp_path / "worker-killed.marker")
+
+    class KamikazeFetcher(TableFetcher):
+        """Dies once, process-wide: the first incarnation to reach its
+        third batch O_EXCL-creates the marker and exits; every other
+        incarnation (and the respawn) sees the marker and lives."""
+
+        def __init__(self, corpus, index):
+            super().__init__(corpus, index)
+            self._calls = 0
+
+        def lookup(self, digests):
+            self._calls += 1
+            if self._calls == 3:
+                try:
+                    fd = _os.open(marker, _os.O_CREAT | _os.O_EXCL)
+                except FileExistsError:
+                    pass
+                else:
+                    _os.close(fd)
+                    _os._exit(1)
+            return super().lookup(digests)
+
+    cfg = CrawlConfig(
+        state_dir=str(tmp_path / f"state-{ray_exec}"),
+        mode="ray",
+        ray_exec=ray_exec,
+        num_shards=3,
+        fetch_concurrency=2,
+        fetch_batch_size=16,
+        fetcher_cls=KamikazeFetcher,
+    )
+    result = CrawlEngine(corpus, cfg).run(seeds=default_seeds(2))
+    assert _os.path.exists(marker)  # a worker really died mid-crawl
+    reachable, dangling = oracle
+    docs = result.documents_table()
+    assert set(docs.column("url").to_pylist()) == reachable
+    # at-least-once: a replayed batch may re-spool doc rows it already
+    # wrote before dying — every url's text must still be the golden
+    # bytes, duplicates included
+    golden = {
+        rfc3986_normalize(u): t
+        for u, t in zip(
+            corpus.column("url").to_pylist(),
+            corpus.column("text").to_pylist(),
+        )
+    }
+    for url, text in zip(
+        docs.column("url").to_pylist(), docs.column("text").to_pylist()
+    ):
+        assert text == golden[url]
+    assert set(result.deadletters_table().column("url").to_pylist()) == dangling
+
+
 def test_pull_politeness_with_spill_same_result(corpus, oracle, tmp_path, ray_session):
     """Shard-side gate × frontier spill: deferred rows re-enter the
     pending runs and may spill under a tiny pending_cap; the crawl must
