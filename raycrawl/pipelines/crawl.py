@@ -202,7 +202,9 @@ def build_frontier_rows(
             pa.array([s.get("type", "page") for s in specs], pa.string()),
             pa.array([s.get("policy", "default") for s in specs], pa.string()),
             pa.array([s.get("queue", "normal") for s in specs], pa.string()),
-            pa.array([depth] * n, pa.int32()),
+            pa.array(
+                [int(s.get("depth", depth)) for s in specs], pa.int32()
+            ),
             pa.array([base_ts + i for i in range(n)], pa.int64()),
             pa.array([0] * n, pa.int32()),
             pa.array([0] * n, pa.int64()),
@@ -1200,7 +1202,6 @@ class CrawlEngine:
         inflight: dict = {}
         work_q: deque = deque()  # (take_ref, offset, size)
         failed_tables: list[pa.Table] = []
-        flush_refs: list = []
         last_flushed_cycle = -1
         processed = 0
         docs = offered = admitted_known = unchanged = 0
@@ -1215,16 +1216,45 @@ class CrawlEngine:
             stats["failed"] = failed.num_rows
             self._handle_failures(failed, cycle, clock_us, stats, sync=False)
 
-        def lineage_flush(sync: bool) -> None:
-            nonlocal last_flushed_cycle
+        def lineage_flush() -> None:
+            """Checkpoint = a CONSISTENT cut, so resume_crawl's
+            suspect-window rule ('doc dirs > manifest last_epoch may
+            have unflushed children') is airtight:
+
+            1. generation barrier — absorb every in-flight
+               process_range (their doc files carry cycle labels
+               <= the manifest we are about to write);
+            2. drain the workers' async offer RPCs (a completed
+               batch's children can otherwise still be in flight to
+               the shards and land in the NEXT spool);
+            3. flush the shards' admitted spools, THEN advance the
+               manifest (WAL order — a manifest ahead of its spools
+               made a SIGKILL in that window lose frontier rows,
+               measured);
+            4. bump the cycle label so every post-checkpoint batch
+               writes doc dirs STRICTLY above the manifest.
+
+            Cost: one pipeline drain per flush interval (16 cycles) —
+            the bounded-depth pipeline (<= pool x DEPTH chunks) drains
+            in one wave, unlike the per-cycle epoch barrier this
+            executor exists to avoid."""
+            nonlocal last_flushed_cycle, cycle, admitted_known
+            while inflight:
+                done, _ = ray.wait(
+                    list(inflight), num_returns=len(inflight),
+                    fetch_local=True,
+                )
+                for r in done:
+                    outstanding[inflight.pop(r)] -= 1
+                absorb(ray.get(done))
+            admitted_known += sum(
+                ray.get([w.drain.remote() for w in pool])
+            )
             refs = [s.flush_epoch.remote(cycle) for s in self.shards]
             last_flushed_cycle = cycle
-            # checkpoint marker: a killed run resumes from here
+            self._ingest_lineage(ray.get(refs), cycle)
             self._write_manifest(cycle, completed=False)
-            if sync:
-                self._ingest_lineage(ray.get(refs), cycle)
-            else:
-                flush_refs.append((cycle, refs))
+            cycle += 1
 
         pending_take: list | None = None  # in-flight (meta_ref, table_ref)
         starved = False  # last refill saw an empty frontier; wait for offers
@@ -1398,7 +1428,7 @@ class CrawlEngine:
                 _tm["refill"] += _time.perf_counter() - _t2
                 _tm["cycles"] += 1
                 if cycle - last_flushed_cycle >= 16:
-                    lineage_flush(sync=False)
+                    lineage_flush()
             if pending_take is not None:
                 _t = _time.perf_counter()
                 if not work_q:
@@ -1446,9 +1476,6 @@ class CrawlEngine:
                 continue
             # pipeline empty: drain worker offer buffers, then re-check
             _t = _time.perf_counter()
-            while flush_refs:
-                c, refs = flush_refs.pop(0)
-                self._ingest_lineage(ray.get(refs), c)
             stats = {"deadlettered": 0, "failed": 0}
             handle_failures_now(stats)
             if self._route_refs:
@@ -1479,10 +1506,7 @@ class CrawlEngine:
         if self._route_refs:
             ray.get(self._route_refs)
             self._route_refs.clear()
-        admitted_known += sum(ray.get([w.drain.remote() for w in pool]))
-        lineage_flush(sync=False)
-        for c, refs in flush_refs:
-            self._ingest_lineage(ray.get(refs), c)
+        lineage_flush()  # drains inflight + workers itself
         if self._dead_tables:
             pq.write_table(
                 pa.concat_tables(self._dead_tables),
@@ -1630,9 +1654,32 @@ def resume_crawl(corpus: pa.Table, cfg: CrawlConfig) -> CrawlResult:
         manifest = json.load(f)
     engine = CrawlEngine(corpus, cfg)
 
-    processed_files = sorted(
+    # Crash-window recovery: the manifest only advances after a cycle's
+    # admitted spools are durable (WAL order), so docs under
+    # epoch dirs > last_epoch are SUSPECT — they were processed, but the
+    # admissions their processing produced (their children) may have
+    # died in shard memory. Marking a suspect doc seen would orphan
+    # those children forever (nothing else re-offers them). Instead the
+    # suspect docs are RE-OFFERED as frontier rows carrying their stored
+    # etag: the T9 conditional-fetch path 304s them (no duplicate doc
+    # row) while still extracting and offering their children, which
+    # bounce off the seen filter when already processed. Deviations on
+    # the suspect window only (bounded by the flush cadence): queue
+    # resets to child_queue, traversal policy to 'default', and
+    # collection-page URNs lose their parent chain (page corpora derive
+    # urns from the url, so only entity crawls notice).
+    last_epoch = int(manifest["last_epoch"])
+
+    def _doc_epoch(path: str) -> int:
+        return int(os.path.basename(os.path.dirname(path)).split("=", 1)[1])
+
+    doc_files = sorted(
         glob(os.path.join(cfg.state_dir, "documents", "epoch=*", "*.parquet"))
-    ) + sorted(glob(os.path.join(cfg.state_dir, "deadletters", "*.parquet")))
+    )
+    suspect_files = [f for f in doc_files if _doc_epoch(f) > last_epoch]
+    processed_files = [
+        f for f in doc_files if _doc_epoch(f) <= last_epoch
+    ] + sorted(glob(os.path.join(cfg.state_dir, "deadletters", "*.parquet")))
     if processed_files:
         # one vectorized shard split over ALL processed keys (the same
         # uint64-prefix router the workers use), one mark_seen RPC per
@@ -1656,13 +1703,41 @@ def resume_crawl(corpus: pa.Table, cfg: CrawlConfig) -> CrawlResult:
 
             ray.get(refs)
 
+    if suspect_files:
+        # offered BEFORE the admitted-spool replay (_route is
+        # synchronous): the etag-carrying suspect row must win the
+        # shards' insert-if-absent dedup over its own earlier spooled
+        # admission, so the re-visit 304s instead of re-writing the doc
+        suspect = pa.concat_tables(
+            pq.read_table(f, columns=["url", "type", "depth", "etag"])
+            for f in suspect_files
+        )
+        specs = [
+            {
+                "url": u,
+                "type": t,
+                "depth": d,
+                "queue": cfg.child_queue,
+                "payload_etag": e or "",
+            }
+            for u, t, d, e in zip(
+                suspect.column("url").to_pylist(),
+                suspect.column("type").to_pylist(),
+                suspect.column("depth").to_pylist(),
+                suspect.column("etag").to_pylist(),
+            )
+        ]
+        engine._route(
+            build_frontier_rows(specs, base_ts=cfg.base_ts_us), "offer"
+        )
+
     admitted_files = sorted(
         glob(os.path.join(cfg.state_dir, "admitted", "epoch=*", "*.parquet"))
     )
     for f in admitted_files:
         engine._route(pq.read_table(f), "offer")
 
-    return engine.run(start_epoch=manifest["last_epoch"] + 1)
+    return engine.run(start_epoch=last_epoch + 1)
 
 
 def recrawl(

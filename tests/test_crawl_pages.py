@@ -308,6 +308,95 @@ def test_fetcher_injection(corpus, tmp_path):
     assert result.deadlettered == 2
 
 
+def test_hard_kill_resume_converges_exactly(tmp_path):
+    """SIGKILL (not a graceful max_urls stop) a local-mode crawl in a
+    subprocess, then resume: docs processed after the last durable
+    manifest epoch are SUSPECT (their children's admissions may have
+    died in memory) and re-offer with their stored etag — the 304 path
+    re-traverses children without duplicating doc rows, so the resumed
+    crawl matches the BFS oracle EXACTLY, row counts included. Before
+    the suspect-window recovery this scenario measurably lost urls
+    (children admitted after the last spool flush whose parents' docs
+    were already on disk)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    state = str(tmp_path / "state")
+    child_src = f"""
+import sys
+from raycrawl.corpus import default_seeds, make_pages_corpus
+from raycrawl.pipelines.crawl import CrawlConfig, CrawlEngine
+corpus = make_pages_corpus(num_hosts=12, pages_per_host=800, seed=42)
+cfg = CrawlConfig(state_dir={state!r}, mode="local", num_shards=3,
+                  epoch_budget=50)
+CrawlEngine(corpus, cfg).run(seeds=default_seeds(2))
+"""
+    p = subprocess.Popen([sys.executable, "-c", child_src])
+    manifest = tmp_path / "state" / "manifest.json"
+    t0 = time.time()
+    while time.time() - t0 < 120 and not manifest.exists():
+        time.sleep(0.02)
+    time.sleep(0.3)
+    p.send_signal(signal.SIGKILL)
+    p.wait()
+    if p.returncode == 0:  # pragma: no cover - host too fast for the kill
+        pytest.skip("crawl finished before the kill landed")
+    assert p.returncode == -signal.SIGKILL
+
+    corpus = make_pages_corpus(num_hosts=12, pages_per_host=800, seed=42)
+    cfg = CrawlConfig(
+        state_dir=state, mode="local", num_shards=3, epoch_budget=50
+    )
+    result = resume_crawl(corpus, cfg)
+    _check_against_oracle(
+        corpus, result, bfs_oracle(corpus, default_seeds(2))
+    )
+
+
+def test_pull_crash_window_resume(corpus, oracle, tmp_path, ray_session):
+    """Pull-executor crash artifact: docs exist beyond the manifest's
+    last durable cycle while that window's admitted spools are gone
+    (exactly what a mid-flight kill leaves after the WAL-ordered
+    manifest). Emulated by surgery on a graceful run's state_dir so no
+    Ray daemons are orphaned; resume must converge exactly."""
+    import json
+    import shutil
+
+    state = tmp_path / "state"
+    cfg = CrawlConfig(
+        state_dir=str(state),
+        mode="ray",
+        ray_exec="pull",
+        num_shards=3,
+        fetch_concurrency=2,
+        fetch_batch_size=16,
+    )
+    CrawlEngine(corpus, cfg).run(seeds=default_seeds(2), max_urls=120)
+
+    doc_epochs = sorted(
+        int(d.name.split("=")[1]) for d in (state / "documents").iterdir()
+    )
+    admitted = sorted(
+        int(d.name.split("=")[1]) for d in (state / "admitted").iterdir()
+    )
+    assert len(admitted) >= 2, "need >=2 flushed cycles to cut one"
+    cut = admitted[-2]
+    for e in admitted:
+        if e > cut:
+            shutil.rmtree(state / "admitted" / f"epoch={e}")
+    assert any(e > cut for e in doc_epochs), "no suspect docs to recover"
+    mpath = state / "manifest.json"
+    m = json.loads(mpath.read_text())
+    m["last_epoch"] = cut
+    m["completed"] = False
+    mpath.write_text(json.dumps(m))
+
+    result = resume_crawl(corpus, cfg)
+    _check_against_oracle(corpus, result, oracle)
+
+
 @pytest.mark.parametrize("ray_exec", ["pull", "actors"])
 def test_worker_death_replays_inflight_ranges(
     corpus, oracle, tmp_path, ray_session, ray_exec
