@@ -89,6 +89,45 @@ def shingle_codes(
     return np.unique(acc)
 
 
+def shingle_codes_md5(
+    text: str, k: int = 3, cache: dict | None = None
+) -> np.ndarray:
+    """Word k-shingle codes in the md5-lower-64 hash family: each
+    shingle is the space-joined k-word string, hashed as the low 8
+    digest bytes little-endian — exactly `md5_number_lower(s)` in
+    DuckDB, which is what makes the MinHash-LSH pipeline
+    oracle-checkable end-to-end. Tokens are WORD_REGEX words (the
+    explicit whitespace class, same as the SQL tokenizer). Unlike
+    `shingle_codes` the result is NOT deduplicated — min-over-multiset
+    equals min-over-set, so MinHash signatures are unaffected and the
+    SQL needs no DISTINCT. Optional shingle-string ``cache``
+    (persistent-actor pattern)."""
+    from .textstats import WORD_REGEX
+
+    words = WORD_REGEX.findall(text)
+    if not words:
+        return np.empty(0, dtype=np.uint64)
+    if len(words) < k:
+        return np.array([_md5_low64(" ".join(words))], dtype=np.uint64)
+    n = len(words) - k + 1
+    if cache is None:
+        return np.fromiter(
+            (_md5_low64(" ".join(words[i : i + k])) for i in range(n)),
+            dtype=np.uint64,
+            count=n,
+        )
+    if len(cache) > 4_000_000:  # bound actor memory on open vocab
+        cache.clear()
+    get, setd = cache.get, cache.setdefault
+
+    def code(i: int) -> int:
+        s = " ".join(words[i : i + k])
+        v = get(s)
+        return v if v is not None else setd(s, _md5_low64(s))
+
+    return np.fromiter((code(i) for i in range(n)), dtype=np.uint64, count=n)
+
+
 def char_trigram_codes(text: str) -> np.ndarray:
     """Sorted unique uint64 codes of the char 3-grams of ``text`` —
     the vectorized equivalent of ``char_ngrams(text, 3)``: each

@@ -20,8 +20,7 @@ import pyarrow.parquet as pq
 from ..functions.dedup import (
     MinHasher,
     est_jaccard,
-    shingle_codes,
-    shingles,
+    shingle_codes_md5,
     simhash64,
 )
 from ..functions.similarity import (
@@ -285,7 +284,72 @@ def text_exact_dedup(sf_dir: str):
     )
 
 
-@query("minhash_lsh_dupes")  # sketch + groupby — rows-only check
+def _minhash_oracle_sql(threshold: float = 0.5) -> str:
+    """Exact DuckDB twin of minhash_lsh_dupes, built at import from the
+    SAME seeded MinHasher constants the pipeline uses. Parity chain:
+    shingle hash = md5-lower-64 of the space-joined 3-word shingle
+    (`md5_number_lower`); permutation h_i(x) = ((a_i|1)*x + b_i) mod
+    2^64 in HUGEINT; signature = MIN per perm (multiset min == set min,
+    so no DISTINCT needed); candidate pairs share an 8-perm band
+    (list-valued join key); est_jaccard = AVG over the 128 positions —
+    a k/128 double on both sides, so the hash compare is exact. The
+    pipeline's 'first matching band' logic is pure dedup, mirrored by
+    DISTINCT. Docs with zero words (none exist in the corpus, min
+    length asserted in tests) would diverge: the kernel gives them
+    all-max signatures that pair with each other, SQL drops them."""
+    h = MinHasher(num_perms=128, seed=7)
+    perm_vals = ",".join(
+        f"({i},{int(a | 1)},{int(b)})"
+        for i, (a, b) in enumerate(zip(h.a.tolist(), h.b.tolist()))
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, regexp_extract_all(text, '{WORD_REGEX_SQL}') AS ws
+      FROM documents
+    ),
+    shl AS (
+      SELECT doc_id,
+        CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+             ELSE list_transform(range(1, len(ws) - 1),
+                  i -> ws[CAST(i AS INT)] || ' ' || ws[CAST(i+1 AS INT)]
+                       || ' ' || ws[CAST(i+2 AS INT)])
+        END AS sh
+      FROM w WHERE len(ws) > 0
+    ),
+    sh AS (
+      SELECT doc_id, md5_number_lower(UNNEST(sh)) AS x FROM shl
+    ),
+    perms(perm, a, b) AS (VALUES {perm_vals}),
+    sig AS (
+      SELECT doc_id, perm,
+        MIN((CAST(x AS HUGEINT) * a + b)
+            % CAST(18446744073709551616 AS HUGEINT)) AS v
+      FROM sh CROSS JOIN perms GROUP BY doc_id, perm
+    ),
+    band AS (
+      SELECT doc_id, perm // 8 AS band_id, list(v ORDER BY perm) AS key
+      FROM sig GROUP BY doc_id, perm // 8
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM band x JOIN band y
+        ON x.band_id = y.band_id AND x.key = y.key
+           AND x.doc_id < y.doc_id
+    ),
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             AVG(CASE WHEN sa.v = sb.v THEN 1.0 ELSE 0.0 END) AS est_jaccard
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm = sa.perm
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, est_jaccard FROM est
+    WHERE est_jaccard >= {threshold}
+    """
+
+
+@query("minhash_lsh_dupes", _minhash_oracle_sql())
 def minhash_lsh_dupes(
     sf_dir: str, threshold: float = 0.5, parts: int = 256
 ) -> "ray.data.Dataset":
@@ -307,9 +371,9 @@ def minhash_lsh_dupes(
     class Sign:
         def __init__(self):
             self.h = MinHasher(num_perms=128, seed=7)
-            # per-actor word-hash cache: vocabulary converges, so
-            # blake2b runs once per word the actor ever sees
-            self.word_cache: dict[str, int] = {}
+            # per-actor shingle-hash cache: phrase vocabulary converges,
+            # so md5 runs once per shingle the actor ever sees
+            self.shingle_cache: dict[str, int] = {}
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids, bands, sigs, prt = [], [], [], []
@@ -317,7 +381,7 @@ def minhash_lsh_dupes(
                 t.column("doc_id").to_pylist(), t.column("text").to_pylist()
             ):
                 sig = self.h.signature(
-                    shingle_codes(text, k=3, cache=self.word_cache)
+                    shingle_codes_md5(text, k=3, cache=self.shingle_cache)
                 )
                 for band_id, key in enumerate(self.h.band_keys(sig, 16)):
                     full = band_id.to_bytes(2, "big") + key

@@ -70,7 +70,7 @@ def test_all_queries_have_callables(registry):
         "text_token_stats", "lang_agg", "text_exact_dedup", "knn_cosine",
         "label_counts", "multimodal_payload_stats", "quality_scores",
         "embedding_near_dup", "langid_heuristic", "doc_fingerprints",
-        "simhash_fingerprints", "ngram_jaccard_topk",
+        "simhash_fingerprints", "ngram_jaccard_topk", "minhash_lsh_dupes",
     ],
 )
 def test_query_matches_oracle(registry, con, name):
@@ -96,7 +96,7 @@ def test_corpus_min_doc_length(registry):
 @pytest.mark.parametrize(
     "name",
     [
-        "minhash_lsh_dupes", "knn_lsh", "embedding_near_dup_lsh",
+        "knn_lsh", "embedding_near_dup_lsh",
     ],
 )
 def test_rows_only_queries_run_and_are_deterministic(registry, name):

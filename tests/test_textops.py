@@ -52,7 +52,7 @@ def test_minhash_lsh_matches_bruteforce_oracle(ray_session):
     from raycrawl.functions.dedup import (
         MinHasher,
         est_jaccard,
-        shingle_codes,
+        shingle_codes_md5,
     )
     from raycrawl.pipelines.textops import minhash_lsh_dupes
 
@@ -64,7 +64,7 @@ def test_minhash_lsh_matches_bruteforce_oracle(ray_session):
     h = MinHasher(num_perms=128, seed=7)
     ids = t.column("doc_id").to_pylist()
     sigs = [
-        h.signature(shingle_codes(x, k=3))
+        h.signature(shingle_codes_md5(x, k=3))
         for x in t.column("text").to_pylist()
     ]
     want = set()
