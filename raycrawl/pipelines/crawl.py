@@ -1079,6 +1079,16 @@ class CrawlEngine:
         start_epoch: int = 0,
         max_urls: int | None = None,
     ) -> CrawlResult:
+        """Run the crawl to completion (or ``max_urls``).
+
+        Failure domains: fetch WORKERS restart transparently
+        (worker_max_restarts, at-least-once replay). A frontier SHARD
+        death is not maskable in-flight (it holds seen-filter + pending
+        state), so it surfaces as RayActorError — the on-disk
+        checkpoint (admitted spools + WAL-ordered manifest) stays
+        consistent, and ``resume_crawl(corpus, cfg)`` on the same
+        state_dir converges to the exact same crawl (tested under
+        SIGKILL)."""
         cfg = self.cfg
         if cfg.mode == "ray" and cfg.ray_exec == "pull":
             # Politeness under pull runs INSIDE the shards' take()

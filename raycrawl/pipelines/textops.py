@@ -19,7 +19,6 @@ import pyarrow.parquet as pq
 
 from ..functions.dedup import (
     MinHasher,
-    est_jaccard,
     shingle_codes_md5,
     simhash64,
 )

@@ -54,9 +54,11 @@ def registry(ray_session):
 
 def test_all_queries_have_callables(registry):
     queries, oracles = registry
-    assert len(queries) >= 25
+    assert len(queries) >= 34
     assert set(oracles) <= set(queries)
-    assert len(oracles) >= 15
+    # 29/34 hash-check against DuckDB; a regression that silently drops
+    # a query to rows-only should fail here
+    assert len(oracles) >= 29
 
 
 @pytest.mark.parametrize(
