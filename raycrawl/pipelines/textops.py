@@ -597,18 +597,16 @@ def ngram_jaccard_topk(sf_dir: str, k: int = 3, sample: int = 32):
     values are exact. Top-k stays a per-query map_groups over the
     `sample`-bounded key space.
 
-    `sample` is capped at 64: probe membership packs into a single
-    uint64 bitmask per vocab entry (ADVICE r2 — 1 << 64 would
-    overflow). Lifting the cap means a (len(vocab), ceil(sample/64))
-    multi-word mask."""
+    Probe membership packs into ceil(sample/64) uint64 mask words per
+    vocab entry (ADVICE r2: the old single-word mask overflowed at
+    sample > 64; probe p lives in word p//64, bit p%64, and the
+    little-endian unpackbits of the row's bytes recovers probes in
+    index order). The SQL oracle mirrors the DEFAULTS (sample=32,
+    k=3); larger samples are a programmatic path."""
     import ray
 
     from ..functions.dedup import char_trigram_codes
 
-    if sample > 64:
-        raise ValueError(
-            f"sample={sample} > 64: probe bitmask is a single uint64"
-        )
     # probe set = the `sample` SMALLEST doc_ids (order-stable contract;
     # file order happens to be sorted but is not relied on)
     probe = (
@@ -624,9 +622,12 @@ def ngram_jaccard_topk(sf_dir: str, k: int = 3, sample: int = 32):
     ]
     probe_sizes = np.array([len(c) for c in probe_codes], dtype=np.int64)
     vocab = np.unique(np.concatenate(probe_codes))
-    masks = np.zeros(len(vocab), dtype=np.uint64)
+    n_words = (len(probe_ids) + 63) // 64
+    masks = np.zeros((len(vocab), n_words), dtype=np.uint64)
     for p_i, codes in enumerate(probe_codes):
-        masks[np.searchsorted(vocab, codes)] |= np.uint64(1 << p_i)
+        masks[np.searchsorted(vocab, codes), p_i // 64] |= np.uint64(
+            1 << (p_i % 64)
+        )
     bcast = ray.put((probe_ids, probe_sizes, vocab, masks))
 
     class Score:
@@ -651,16 +652,20 @@ def ngram_jaccard_topk(sf_dir: str, k: int = 3, sample: int = 32):
                 )
                 pos = np.searchsorted(self.vocab, allcodes)
                 pos_c = np.minimum(pos, len(self.vocab) - 1)
+                n_words = self.masks.shape[1]
                 hit = np.where(
-                    self.vocab[pos_c] == allcodes,
+                    (self.vocab[pos_c] == allcodes)[:, None],
                     self.masks[pos_c],
                     np.uint64(0),
                 )
+                # little-endian bytes of word w occupy columns
+                # [w*64, (w+1)*64) after unpackbits -> column p IS
+                # probe p for every mask width
                 bits = np.unpackbits(
-                    hit.view(np.uint8).reshape(-1, 8),
+                    hit.view(np.uint8).reshape(-1, 8 * n_words),
                     axis=1,
                     bitorder="little",
-                ).reshape(-1, 64)[:, :n_probes]
+                )[:, :n_probes]
                 nz_lens = lens[nonzero]
                 offsets = np.zeros(len(nonzero), dtype=np.int64)
                 np.cumsum(nz_lens[:-1], out=offsets[1:])

@@ -76,6 +76,42 @@ def test_minhash_lsh_matches_bruteforce_oracle(ray_session):
     assert have == sorted(want)
 
 
+def test_ngram_jaccard_wide_sample_matches_bruteforce(ray_session):
+    """sample > 64 exercises the multi-word probe bitmask (ADVICE r2:
+    the single-uint64 mask overflowed there); every (query, doc, rank)
+    must match a brute-force exact-Jaccard top-k."""
+    import numpy as np
+
+    from raycrawl.functions.dedup import char_trigram_codes
+    from raycrawl.pipelines.textops import ngram_jaccard_topk
+
+    sample, k = 70, 3
+    got = ngram_jaccard_topk(SF, k=k, sample=sample).to_pandas()
+    have = sorted(map(tuple, got[["query_id", "doc_id", "rank"]].values))
+
+    t = _docs(["doc_id", "text"])
+    order = sorted(
+        range(t.num_rows), key=lambda i: t.column("doc_id")[i].as_py()
+    )
+    ids = [t.column("doc_id")[i].as_py() for i in order]
+    codes = [char_trigram_codes(t.column("text")[i].as_py()) for i in order]
+    want = []
+    for qi in range(sample):
+        scores = []
+        for di in range(len(ids)):
+            if ids[di] == ids[qi]:
+                continue
+            inter = len(
+                np.intersect1d(codes[qi], codes[di], assume_unique=True)
+            )
+            union = len(codes[qi]) + len(codes[di]) - inter
+            scores.append((inter / union if union else 1.0, ids[di]))
+        scores.sort(key=lambda s: (-s[0], s[1]))
+        for r, (_, did) in enumerate(scores[:k], 1):
+            want.append((ids[qi], did, r))
+    assert have == sorted(want)
+
+
 def test_knn_lsh_recall_vs_bruteforce(ray_session):
     from raycrawl.pipelines.textops import knn_cosine, knn_lsh
 
