@@ -210,6 +210,23 @@ def run_bench() -> dict:
             "vs_unbounded": round(pwall / wall, 2),
         }
 
+    # frontier-bigger-than-memory: same crawl with a per-shard pending
+    # cap that forces ~95% of the peak frontier through the Parquet
+    # spill — the regime a 10^10-URL frontier actually runs in. One
+    # run (not best-of-2): the figure is a regression floor, not a
+    # headline.
+    spill = None
+    if not crawl_only:
+        cap = int(os.environ.get("GRAFT_SPILL_CAP", "40000"))
+        swall, scrawled, _ = crawl_once("spill", pending_cap=cap)
+        spill = {
+            "value": round(swall, 3),
+            "urls_crawled": scrawled,
+            "urls_per_sec": round(scrawled / swall, 1),
+            "pending_cap_per_shard": cap,
+            "vs_unbounded": round(swall / wall, 2),
+        }
+
     # representative operator queries
     from raycrawl.pipelines.analytics import QUERIES  # registry
     import raycrawl.pipelines.flagship  # noqa: F401
@@ -237,6 +254,8 @@ def run_bench() -> dict:
     }
     if polite is not None:
         out["polite"] = polite
+    if spill is not None:
+        out["spill"] = spill
     return out
 
 
