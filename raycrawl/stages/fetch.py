@@ -80,16 +80,25 @@ def _digests_to_h64_tail(digests: list[bytes]):
 
 
 def prepare_corpus(corpus: pa.Table) -> pa.Table:
-    """Normalize the corpus for zero-copy broadcast: ``html`` as
-    large_binary (int32 binary offsets cap a chunk at 2 GB — beyond
-    that combine_chunks silently keeps multiple chunks and positional
-    indexing against chunk(0) is wrong) and everything in ONE chunk.
+    """Normalize the corpus for zero-copy broadcast: EVERY
+    variable-width column cast to its large (int64-offset) type and
+    everything in ONE chunk. int32 offsets cap a chunk at 2 GB —
+    beyond that combine_chunks silently keeps multiple chunks, and a
+    multi-chunk column made every fetch worker privately re-combine
+    ~3.5 GB in __init__ (measured: identical 3.65 GB anon RSS per
+    worker at 10M pages = 27x the corpus text column -> system OOM;
+    at 3M pages text fit int32 offsets and the bug was invisible).
     Run once on the driver BEFORE ray.put, never per actor."""
-    i = corpus.schema.get_field_index("html")
-    if i >= 0 and corpus.column("html").type == pa.binary():
-        corpus = corpus.set_column(
-            i, "html", corpus.column("html").cast(pa.large_binary())
-        )
+    large = {
+        pa.binary(): pa.large_binary(),
+        pa.string(): pa.large_string(),
+    }
+    for i, field in enumerate(corpus.schema):
+        to = large.get(field.type)
+        if to is not None:
+            corpus = corpus.set_column(
+                i, field.name, corpus.column(field.name).cast(to)
+            )
     return corpus.combine_chunks()
 
 
@@ -97,14 +106,19 @@ class TableFetcher:
     """Corpus-backed simulated network: url_hash → page row."""
 
     def __init__(self, corpus: pa.Table, index: dict[str, np.ndarray]) -> None:
-        self._corpus = corpus.combine_chunks()
-        html = self._corpus.column("html")
-        if html.num_chunks != 1:
-            raise ValueError(
-                "corpus html column is multi-chunk (>2 GB of binary in "
-                "int32-offset chunks?) — run prepare_corpus() first"
-            )
-        self._html = html.chunk(0)
+        # NO combine_chunks here: on a plasma-backed table with a
+        # multi-chunk column it silently COPIES the column into each
+        # actor's private heap (~3.5 GB x workers at 10M pages — the
+        # measured OOM). prepare_corpus() guarantees single-chunk
+        # large-offset columns; refuse anything else.
+        for name in ("html", "lang", "warc_ts"):
+            if corpus.column(name).num_chunks != 1:
+                raise ValueError(
+                    f"corpus column {name!r} is multi-chunk — run "
+                    "prepare_corpus() on the driver before ray.put"
+                )
+        self._corpus = corpus
+        self._html = corpus.column("html").chunk(0)
         self._lang = self._corpus.column("lang").chunk(0)
         self._ts = self._corpus.column("warc_ts").chunk(0)
         self._h64 = index["h64"]
