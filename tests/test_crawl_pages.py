@@ -308,6 +308,39 @@ def test_fetcher_injection(corpus, tmp_path):
     assert result.deadlettered == 2
 
 
+def test_prepare_corpus_single_chunk_large_offsets(corpus):
+    """Broadcast-copy regression (the 10M-page OOM): every
+    variable-width column must leave prepare_corpus as ONE chunk of a
+    large-offset type — a multi-chunk column made each fetch worker
+    privately re-combine the whole column — and TableFetcher must
+    refuse multi-chunk input rather than silently copying."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from raycrawl.stages.fetch import TableFetcher, prepare_corpus
+
+    prepared = prepare_corpus(corpus)
+    for field in prepared.schema:
+        col = prepared.column(field.name)
+        assert col.num_chunks == 1, field.name
+        assert field.type not in (pa.string(), pa.binary()), field.name
+
+    # a deliberately re-chunked html column must be rejected, not copied
+    half = prepared.num_rows // 2
+    chunked = prepared.set_column(
+        prepared.schema.get_field_index("html"),
+        "html",
+        pa.chunked_array(
+            [
+                prepared.column("html").chunk(0).slice(0, half),
+                prepared.column("html").chunk(0).slice(half),
+            ]
+        ),
+    )
+    with _pytest.raises(ValueError, match="multi-chunk"):
+        TableFetcher(chunked, {"h64": None, "tail": None, "row": None})
+
+
 def test_hard_kill_resume_converges_exactly(tmp_path):
     """SIGKILL (not a graceful max_urls stop) a local-mode crawl in a
     subprocess, then resume: docs processed after the last durable
