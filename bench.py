@@ -142,14 +142,13 @@ def run_bench() -> dict:
         result = engine.run(seeds=seeds)
         wall = time.perf_counter() - t0
         crawled = result.docs_written + result.deadlettered
-        defers = sum(
-            m["value"]
-            for m in result.metrics.to_pylist()
-            if m["name"] == "defer"
-        )
+        mets: dict = {}
+        for m in result.metrics.to_pylist():
+            mets[m["name"]] = mets.get(m["name"], 0) + m["value"]
+        defers = mets.get("defer", 0)
         engine.close()  # free the actor pool before the next run
         shutil.rmtree(state, ignore_errors=True)
-        return wall, crawled, defers
+        return wall, crawled, defers, mets
 
     # best-of-2: the sandbox VM shows ±25% host-steal noise between
     # identical runs; the faster run is the truer capability measure.
@@ -158,7 +157,7 @@ def run_bench() -> dict:
     crawl_only = os.environ.get("GRAFT_BENCH_CRAWL_ONLY") == "1"
     reps = 2
     runs = [crawl_once(f"timed{i}") for i in range(reps)]
-    wall, crawled, _ = min(runs, key=lambda r: r[0])
+    wall, crawled, _, _ = min(runs, key=lambda r: r[0])
 
     # polite crawl: the SAME corpus + crawl with a BINDING per-host rate
     # limit and robots rules active (Crawl-delay overrides on two hosts,
@@ -199,7 +198,7 @@ def run_bench() -> dict:
             )
             for i in range(reps)
         ]
-        pwall, pcrawled, pdefers = min(pruns, key=lambda r: r[0])
+        pwall, pcrawled, pdefers, _ = min(pruns, key=lambda r: r[0])
         polite = {
             "value": round(pwall, 3),
             "urls_crawled": pcrawled,
@@ -218,12 +217,13 @@ def run_bench() -> dict:
     spill = None
     if not crawl_only:
         cap = int(os.environ.get("GRAFT_SPILL_CAP", "40000"))
-        swall, scrawled, _ = crawl_once("spill", pending_cap=cap)
+        swall, scrawled, _, smets = crawl_once("spill", pending_cap=cap)
         spill = {
             "value": round(swall, 3),
             "urls_crawled": scrawled,
             "urls_per_sec": round(scrawled / swall, 1),
             "pending_cap_per_shard": cap,
+            "rows_spilled": int(smets.get("spilled", 0)),
             "vs_unbounded": round(swall / wall, 2),
         }
 
