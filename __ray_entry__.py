@@ -46,4 +46,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     _, o = _registry()
+    # the flagship-crawl oracles BFS over a sidecar link graph emitted
+    # by corpus derivation; materialize it for the driver's comparison
+    # sf now so the oracle never races the query side (idempotent,
+    # content-keyed /tmp path, ~1s at sf0.01)
+    from raycrawl.pipelines.flagship import (
+        DRIVER_ORACLE_SF,
+        ensure_oracle_sidecars,
+    )
+
+    ensure_oracle_sidecars(DRIVER_ORACLE_SF)
     return dict(o)

@@ -283,7 +283,16 @@ def corpus_from_documents(
     try:
         import os
 
-        n_proc = processes if processes is not None else (os.cpu_count() or 4)
+        if processes is not None:
+            n_proc = processes
+        else:
+            # affinity-aware: os.cpu_count() ignores sched_setaffinity,
+            # so a bench child pinned to 8 cores would fork 32 workers
+            # onto them (ADVICE r3)
+            try:
+                n_proc = len(os.sched_getaffinity(0))
+            except (AttributeError, OSError):  # pragma: no cover
+                n_proc = os.cpu_count() or 4
         n_proc = max(1, min(n_proc, 32))
         if n < _PARALLEL_MIN_ROWS or n_proc == 1:
             return _build_pages_chunk((0, n))

@@ -4,13 +4,28 @@
 deterministic pages corpus from the driver ``documents`` table
 (corpus_from_documents), crawl it from fixed seeds with the sharded
 frontier + politeness + dedup stack, and return the harvested documents
-table. Iterative + stateful ⇒ not SQL-expressible (rows-only driver
-check); its correctness oracle is the BFS-reachability test suite
-(tests/test_crawl_pages.py).
+table.
+
+The crawl itself is iterative + stateful, but its OUTPUT is a pure
+function of the (deterministic) corpus link graph, so it hash-checks
+against a DuckDB twin (round-3 verdict item 1): corpus derivation also
+emits a static sidecar — ``pages.parquet`` (url, urn, row_idx, lang,
+n_links), ``links.parquet`` (src_url, dst_url; non-dangling canonical
+edges), ``seeds.parquet`` — via the SAME extract/canonicalize functions
+the engine runs per fetch (unit-tested independently:
+tests/test_extract_corpus.py, tests/test_urlnorm.py), and the oracle is
+a recursive-CTE BFS over that sidecar: reachable set, depth = min BFS
+level, version counts for the incremental re-crawl. The engine's
+frontier/dedup/politeness/iteration machinery is exactly what the twin
+does NOT share, which is what makes the hash match meaningful.
+Reference traversal semantics: /root/reference/test/unit/
+processingTests.js:13-46.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 import shutil
 import tempfile
 
@@ -20,6 +35,168 @@ import pyarrow.parquet as pq
 from ..corpus import corpus_from_documents, seeds_for_corpus
 from .analytics import query
 from .crawl import CrawlConfig, CrawlEngine
+
+# the driver compares queries() vs oracle_sql() at this sf; the
+# registered oracle strings bake in this sf's sidecar path (the
+# per-sf generator below serves the test harness at other scales)
+DRIVER_ORACLE_SF = "/root/testdata/sf0.01"
+
+_SIDECAR_VERSION = "v1"  # bump when sidecar derivation changes
+
+
+def _sidecar_dir(sf_dir: str, pages_per_doc: int, num_seeds: int) -> str:
+    key = hashlib.sha1(
+        f"{os.path.realpath(sf_dir)}|ppd={pages_per_doc}"
+        f"|seeds={num_seeds}|{_SIDECAR_VERSION}".encode()
+    ).hexdigest()[:16]
+    return f"/tmp/raycrawl_oracle_{key}"
+
+
+def ensure_oracle_sidecars(
+    sf_dir: str, *, pages_per_doc: int = 2, num_seeds: int = 4
+) -> str:
+    """Write the flagship-crawl oracle sidecar for ``sf_dir`` (idempotent,
+    content-keyed path under /tmp). Derivation is deterministic, so an
+    existing sidecar is reused as-is."""
+    import pyarrow as pa
+
+    d = _sidecar_dir(sf_dir, pages_per_doc, num_seeds)
+    marker = os.path.join(d, "_OK")
+    if os.path.exists(marker):
+        return d
+
+    from ..functions.urlnorm import rfc3986_normalize
+    from ..stages.extract import extract_links
+    from ..stages.visitor import page_urn
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    corpus = corpus_from_documents(
+        docs, pages_per_doc=pages_per_doc, seed=42
+    )
+    urls = corpus.column("url").to_pylist()
+    htmls = corpus.column("html").to_pylist()
+    langs = corpus.column("lang").to_pylist()
+    url_set = set(urls)  # corpus urls are canonical fixed points
+
+    n_links: list[int] = []
+    edges: set[tuple[str, str]] = set()
+    for i, (u, h) in enumerate(zip(urls, htmls)):
+        links = extract_links(h, u)  # the engine's own kernel
+        n_links.append(len(links))
+        for link in links:
+            c = rfc3986_normalize(link)
+            if c in url_set:  # dangling links 404 -> never expand
+                edges.add((u, c))
+
+    os.makedirs(d, exist_ok=True)
+
+    def _write(name: str, table: pa.Table) -> None:
+        tmp = os.path.join(d, f".{name}.tmp")
+        pq.write_table(table, tmp)
+        os.replace(tmp, os.path.join(d, name))
+
+    _write(
+        "pages.parquet",
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "urn": pa.array(
+                    [page_urn(u) for u in urls], pa.string()
+                ),
+                "row_idx": pa.array(range(len(urls)), pa.int64()),
+                "lang": pa.array(langs, pa.string()),
+                "n_links": pa.array(n_links, pa.int64()),
+            }
+        ),
+    )
+    src, dst = zip(*sorted(edges)) if edges else ((), ())
+    _write(
+        "links.parquet",
+        pa.table(
+            {
+                "src_url": pa.array(list(src), pa.string()),
+                "dst_url": pa.array(list(dst), pa.string()),
+            }
+        ),
+    )
+    _write(
+        "seeds.parquet",
+        pa.table(
+            {
+                "url": pa.array(
+                    [s["url"] for s in seeds_for_corpus(corpus, num_seeds)],
+                    pa.string(),
+                )
+            }
+        ),
+    )
+    with open(marker, "w") as f:
+        f.write(_SIDECAR_VERSION)
+    return d
+
+
+# Depth cap for the recursive CTE: DuckDB's UNION-recursive iteration
+# only terminates if each round's (url, depth) rows eventually stop
+# being new, and cycles mint fresh (url, depth+len(cycle)*k) rows
+# forever without a cap. 64 is far above any BFS eccentricity of these
+# corpora (sf0.01 diameter ~6; asserted well below the cap in
+# tests/test_queries_oracle.py) and bounds worst-case row count at
+# pages x 64.
+_BFS_DEPTH_CAP = 64
+
+
+def _reach_cte(d: str) -> str:
+    return f"""
+    WITH RECURSIVE links AS (
+      SELECT src_url, dst_url FROM read_parquet('{d}/links.parquet')
+    ),
+    pages AS (
+      SELECT * FROM read_parquet('{d}/pages.parquet')
+    ),
+    reach(url, depth) AS (
+      SELECT url, CAST(0 AS BIGINT) AS depth
+      FROM read_parquet('{d}/seeds.parquet')
+      UNION
+      SELECT l.dst_url, r.depth + 1
+      FROM reach r JOIN links l ON l.src_url = r.url
+      WHERE r.depth < {_BFS_DEPTH_CAP}
+    ),
+    lev AS (
+      SELECT url, MIN(depth) AS depth FROM reach GROUP BY url
+    )"""
+
+
+def flagship_oracle_sql(
+    sf_dir: str, *, pages_per_doc: int = 2, num_seeds: int = 4
+) -> str:
+    """DuckDB twin of crawl_reachability over the sidecar graph: BFS
+    from the seeds, depth = min level, one row per reachable page."""
+    d = _sidecar_dir(sf_dir, pages_per_doc, num_seeds)
+    return f"""{_reach_cte(d)}
+    SELECT p.urn, p.url, lev.depth, p.n_links, p.lang
+    FROM lev JOIN pages p USING (url)
+    ORDER BY p.url
+    """
+
+
+def recrawl_oracle_sql(
+    sf_dir: str, *, k: int = 5, pages_per_doc: int = 2, num_seeds: int = 4
+) -> str:
+    """DuckDB twin of recrawl_incremental: a reachable page stores 2
+    versions iff it is one of the first ``k`` corpus rows (their bodies
+    are modified between the two crawls -> etag mismatch -> upsert);
+    every other reachable page 304s against its stored etag."""
+    d = _sidecar_dir(sf_dir, pages_per_doc, num_seeds)
+    return f"""{_reach_cte(d)}
+    SELECT p.url,
+           CAST(CASE WHEN p.row_idx < {k} THEN 2 ELSE 1 END AS BIGINT)
+             AS versions
+    FROM lev JOIN pages p USING (url)
+    ORDER BY p.url
+    """
 
 
 def run_crawl(
@@ -58,14 +235,15 @@ def run_crawl(
     return result, table
 
 
-@query("crawl_reachability")  # iterative/stateful — rows-only check
+@query("crawl_reachability", flagship_oracle_sql(DRIVER_ORACLE_SF))
 def crawl_reachability(sf_dir: str):
+    ensure_oracle_sidecars(sf_dir)
     _, table = run_crawl(sf_dir)
     out = table.select(["urn", "url", "depth", "n_links", "lang"])
     return out.take(pc.sort_indices(out, sort_keys=[("url", "ascending")]))
 
 
-@query("recrawl_incremental")  # iterative/stateful — rows-only check
+@query("recrawl_incremental", recrawl_oracle_sql(DRIVER_ORACLE_SF))
 def recrawl_incremental(sf_dir: str, k: int = 5):
     """Incremental re-crawl end-to-end (reference tracker TTL + etag
     store): crawl a derived corpus, deterministically modify the first
@@ -73,16 +251,18 @@ def recrawl_incremental(sf_dir: str, k: int = 5):
     pages 304 against their stored etags, changed pages write a second
     version. Returns one row per harvested url with its stored version
     count (2 for modified+reachable pages, 1 otherwise), sorted by url.
-    Iterative + stateful ⇒ rows-only driver check; the exact-count
-    oracle is tests/test_crawl_pages.py::
+    Hash-checked against recrawl_oracle_sql's recursive-CTE twin
+    (reachable ∩ first-k-rows → 2 versions, else 1); the executor-level
+    exact-count oracle remains tests/test_crawl_pages.py::
     test_incremental_recrawl_304s_and_upserts."""
-    import os
     from glob import glob
 
     import pyarrow as pa
 
     from ..stages.extract import extract_text
     from .crawl import recrawl
+
+    ensure_oracle_sidecars(sf_dir)
 
     docs = pq.read_table(
         f"{sf_dir}/documents.parquet",

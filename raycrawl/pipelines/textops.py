@@ -634,6 +634,7 @@ def ngram_jaccard_topk(sf_dir: str, k: int = 3, sample: int = 32):
         def __init__(self):
             ids, self.sizes, self.vocab, self.masks = ray.get(bcast)
             self.ids = np.asarray(ids, dtype=np.int64)
+            self.k = k
 
         def __call__(self, t: pa.Table) -> pa.Table:
             n_probes = len(self.ids)
@@ -678,12 +679,36 @@ def ngram_jaccard_topk(sf_dir: str, k: int = 3, sample: int = 32):
             jac = inter / union
             jac[both_empty] = 1.0
             keep = doc_ids[:, None] != self.ids[None, :]  # exclude self
-            di, pi = np.nonzero(keep)
+            # per-batch partial top-k (round-3 verdict item 3; the
+            # knn_cosine merge_topk pattern): (jaccard DESC, doc_id
+            # ASC) is a total order, so every global top-k row is in
+            # its own batch's per-probe top-k — the shuffle into
+            # groupby(query_id) carries blocks x probes x k rows
+            # instead of n_docs x probes (3.2e11 rows at 1e10 docs).
+            qi_out, di_out, jc_out = [], [], []
+            for p in range(n_probes):
+                idx = np.flatnonzero(keep[:, p])
+                if not idx.size:
+                    continue
+                order = np.lexsort((doc_ids[idx], -jac[idx, p]))[: self.k]
+                sel = idx[order]
+                qi_out.append(np.full(len(sel), p, dtype=np.int64))
+                di_out.append(doc_ids[sel])
+                jc_out.append(jac[sel, p])
+            if not qi_out:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "doc_id": pa.array([], pa.int64()),
+                        "jaccard": pa.array([], pa.float64()),
+                    }
+                )
+            pi = np.concatenate(qi_out)
             return pa.table(
                 {
                     "query_id": pa.array(self.ids[pi], pa.int64()),
-                    "doc_id": pa.array(doc_ids[di], pa.int64()),
-                    "jaccard": pa.array(jac[di, pi], pa.float64()),
+                    "doc_id": pa.array(np.concatenate(di_out), pa.int64()),
+                    "jaccard": pa.array(np.concatenate(jc_out), pa.float64()),
                 }
             )
 
@@ -957,14 +982,21 @@ def _pair_table(
     vecs_a: np.ndarray,
     ids_b: np.ndarray | None = None,
     vecs_b: np.ndarray | None = None,
-) -> pa.Table:
+    *,
+    return_index: bool = False,
+):
     """Exact qualifying pairs between two (already normalized) blocks —
     one block matmul. Self-join (ids_b None): id_a < id_b picks each
     unordered pair once from the symmetric matrix. Cross-join of two
     DISJOINT blocks: every unordered pair appears exactly once in the
     matrix, so qualifying cells are kept regardless of orientation and
     the ids are emitted as (min, max). Same float discipline as the
-    DuckDB oracle: normalize, float64 dot, FLOOR(sim*10000 + 0.5)."""
+    DuckDB oracle: normalize, float64 dot, FLOOR(sim*10000 + 0.5).
+
+    ``return_index=True`` (self-join callers) returns the numpy columns
+    plus the pair row indices ``_ai``/``_bj`` into the input block, so
+    the caller can post-filter pairs (e.g. first-colliding-table dedup)
+    before building the Arrow table."""
     cross = ids_b is not None
     if not cross:
         ids_b, vecs_b = ids_a, vecs_a
@@ -977,6 +1009,14 @@ def _pair_table(
     lo, hi = ids_a[ai], ids_b[bj]
     if cross and len(lo):
         lo, hi = np.minimum(lo, hi), np.maximum(lo, hi)
+    if return_index:
+        return {
+            "id_a": lo,
+            "id_b": hi,
+            "sim_bp": bp[ai, bj].astype(np.int64),
+            "_ai": ai,
+            "_bj": bj,
+        }
     return pa.table(
         {
             "id_a": pa.array(lo, pa.int64()),
@@ -1171,22 +1211,38 @@ def embedding_near_dup_lsh(sf_dir: str):
         return pa.concat_tables(parts)
 
     def score_bucket(t: pa.Table) -> pa.Table:
+        """Exact-verified pairs of this bucket, emitted ONLY when this
+        bucket's table is the pair's FIRST colliding table — the
+        minhash `pairs_part` trick (first-matching-band dedup computed
+        locally): the group holds the embeddings, so all T table codes
+        are recomputable here, and a pair colliding in several tables
+        surfaces from exactly one bucket group. Dedup is therefore
+        distributed — no driver-side pair materialization (round-3
+        verdict item 2)."""
         ids = t.column("vec_id").to_numpy()
         vecs = _norm_rows(as_matrix(t.column("embedding")))
-        return _pair_table(ids, vecs)
+        out = _pair_table(ids, vecs, return_index=True)
+        ai, bj = out["_ai"], out["_bj"]
+        if len(ai):
+            tb = int(t.column("bucket")[0].as_py()) % index.num_tables
+            codes = index.codes(vecs)  # (n, T)
+            eq = codes[ai] == codes[bj]  # eq[:, tb] True by construction
+            m = eq.argmax(axis=1) == tb  # first colliding table is ours
+            out = {k: v[m] for k, v in out.items()}
+        return pa.table(
+            {
+                "id_a": pa.array(out["id_a"], pa.int64()),
+                "id_b": pa.array(out["id_b"], pa.int64()),
+                "sim_bp": pa.array(out["sim_bp"], pa.int64()),
+            }
+        )
 
-    pairs = (
+    return (
         _read(sf_dir, "embeddings", ["vec_id", "embedding"])
         .map_batches(band, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(score_bucket, batch_format="pyarrow")
-        .to_pandas()
     )
-    # a pair colliding in several tables is found several times
-    pairs = pairs.drop_duplicates(["id_a", "id_b"]).sort_values(
-        ["id_a", "id_b"]
-    ).reset_index(drop=True)
-    return pa.Table.from_pandas(pairs, preserve_index=False)
 
 
 @query(
@@ -1216,8 +1272,11 @@ def label_counts(sf_dir: str):
 def multimodal_payload_stats(sf_dir: str):
     """Opaque-binary-column plumbing: payloads flow as Arrow binary,
     metadata (size, digest) extracted per batch in an actor-pool stage.
-    The real decode step (image/audio libs absent here) is stubbed in
-    raycrawl.stages.multimodal behind NotImplementedError."""
+    Real decoders for the uncompressed formats (BMP, the netpbm family
+    incl. 1-bit-packed PBM, WAV) live in raycrawl.functions.codecs and
+    feed the decode/feature stages in raycrawl.stages.multimodal; only
+    the genuinely-absent compressed codecs (JPEG/PNG/MP3/...) remain
+    gated behind NotImplementedError there."""
 
     class PayloadStats:
         def __call__(self, t: pa.Table) -> pa.Table:

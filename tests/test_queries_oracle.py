@@ -56,9 +56,9 @@ def test_all_queries_have_callables(registry):
     queries, oracles = registry
     assert len(queries) >= 34
     assert set(oracles) <= set(queries)
-    # 29/34 hash-check against DuckDB; a regression that silently drops
+    # 31/34 hash-check against DuckDB; a regression that silently drops
     # a query to rows-only should fail here
-    assert len(oracles) >= 29
+    assert len(oracles) >= 31
 
 
 @pytest.mark.parametrize(
@@ -93,6 +93,52 @@ def test_corpus_min_doc_length(registry):
 
     t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])
     assert min(len(x) for x in t.column("text").to_pylist()) >= 3
+
+
+@pytest.mark.parametrize("name", ["crawl_reachability", "recrawl_incremental"])
+def test_flagship_crawl_matches_recursive_cte_oracle(registry, con, name):
+    """The flagship crawl's registered oracle strings bake in the
+    driver's sf0.01 sidecar path; this mirrors the same comparison at
+    sf0.001 through the per-sf SQL generator (the registered string IS
+    generator(DRIVER_ORACLE_SF), asserted below)."""
+    from raycrawl.pipelines.flagship import (
+        _BFS_DEPTH_CAP,
+        ensure_oracle_sidecars,
+        flagship_oracle_sql,
+        recrawl_oracle_sql,
+    )
+
+    queries, _ = registry
+    ensure_oracle_sidecars(SF_DIR)
+    gen = (
+        flagship_oracle_sql if name == "crawl_reachability"
+        else recrawl_oracle_sql
+    )
+    got = _normalize(_to_pandas(queries[name](SF_DIR)))
+    want = _normalize(con.execute(gen(SF_DIR)).df())
+    assert list(got.columns) == list(want.columns), name
+    assert len(got) == len(want), name
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    if name == "crawl_reachability":
+        # the recursion cap must sit far above the graph's eccentricity
+        assert got["depth"].max() < _BFS_DEPTH_CAP // 4
+
+
+def test_registered_flagship_oracles_target_driver_sf(registry):
+    from raycrawl.pipelines.flagship import (
+        DRIVER_ORACLE_SF,
+        flagship_oracle_sql,
+        recrawl_oracle_sql,
+    )
+
+    _, oracles = registry
+    assert oracles["crawl_reachability"] == flagship_oracle_sql(
+        DRIVER_ORACLE_SF
+    )
+    assert oracles["recrawl_incremental"] == recrawl_oracle_sql(
+        DRIVER_ORACLE_SF
+    )
 
 
 @pytest.mark.parametrize(
