@@ -228,6 +228,9 @@ class CrawlEngine:
         os.makedirs(self.docs_dir, exist_ok=True)
         os.makedirs(self.dead_dir, exist_ok=True)
         index = build_fetch_index(corpus)
+        # kept for crash recovery: resume_crawl distinguishes corpus-
+        # backed suspect docs from payload-backed (event) ones
+        self._fetch_index = index
         self.politeness = PolitenessPolicy(
             host_rate_per_sec=cfg.host_rate_per_sec,
             epoch_seconds=cfg.epoch_seconds,
@@ -293,6 +296,8 @@ class CrawlEngine:
         self._route_refs: list = []     # pull mode: in-flight requeue RPCs
         self._dead_tables: list[pa.Table] = []  # pull mode: deadletter buffer
         self._metrics_rows: list[dict] = []
+        # (name, wall second) -> count; see _absorb_persec
+        self._persec: dict[tuple[str, int], int] = {}
         self._lineage_rows: list[dict] = []
         self._docs_written = 0
         self._failed = 0
@@ -952,6 +957,7 @@ class CrawlEngine:
                     self._benched_hosts[h] = until
 
         summaries = result.filter(pc.equal(result.column("type"), SUMMARY_TYPE))
+        self._absorb_persec(summaries)
         stats["docs"] = int(pc.sum(summaries.column("depth")).as_py() or 0)
         stats["offered"] = int(pc.sum(summaries.column("discovery_ts")).as_py() or 0)
         stats["admitted"] = int(pc.sum(summaries.column("attempt_count")).as_py() or 0)
@@ -1140,6 +1146,7 @@ class CrawlEngine:
             self._metrics_rows.append(
                 {"epoch": epoch, "name": name, "value": total}
             )
+        self._flush_persec_rows()
         metrics = self._metrics_table()
         self._write_tables(metrics)
         seen_counts = self._call("seen_count")
@@ -1384,6 +1391,7 @@ class CrawlEngine:
             summaries = result.filter(
                 pc.equal(result.column("type"), SUMMARY_TYPE)
             )
+            self._absorb_persec(summaries)
             docs += int(pc.sum(summaries.column("depth")).as_py() or 0)
             offered += int(
                 pc.sum(summaries.column("discovery_ts")).as_py() or 0
@@ -1547,6 +1555,7 @@ class CrawlEngine:
             self._metrics_rows.append(
                 {"epoch": cycle, "name": name, "value": total}
             )
+        self._flush_persec_rows()
         metrics = self._metrics_table()
         self._write_tables(metrics)
         seen_counts = self._call("seen_count")
@@ -1617,6 +1626,44 @@ class CrawlEngine:
             self._metrics_rows.append(
                 {"epoch": epoch, "name": metric, "value": stats[key]}
             )
+
+    def _absorb_persec(self, summaries: pa.Table) -> None:
+        """Per-second counter buckets (reference: redis-metrics with
+        timeGranularity 'second', lib/crawlerFactory.js:264-277). Each
+        worker summary row stamps its batch-completion wall second
+        (relation) and fetched count (parent_urn); accumulating by
+        (name, second) gives metrics.parquet a sub-epoch time series an
+        operator can watch, alongside the per-epoch totals. Rows are
+        emitted with a 'sec:' name prefix and epoch=-1 so consumers
+        summing bare counter names never double-count."""
+        if summaries.num_rows == 0:
+            return
+        secs = summaries.column("relation").to_pylist()
+        cols = (
+            ("fetch", summaries.column("parent_urn").to_pylist()),
+            ("done", summaries.column("depth").to_pylist()),
+            ("offered", summaries.column("discovery_ts").to_pylist()),
+            ("push", summaries.column("attempt_count").to_pylist()),
+            ("abandon", summaries.column("status").to_pylist()),
+            ("deadletter", summaries.column("not_before").to_pylist()),
+        )
+        for i, s in enumerate(secs):
+            if not s:
+                continue
+            sec = int(s)
+            for name, vals in cols:
+                v = int(vals[i] or 0)
+                if v:
+                    key = (name, sec)
+                    self._persec[key] = self._persec.get(key, 0) + v
+
+    def _flush_persec_rows(self) -> None:
+        for (name, sec), v in sorted(self._persec.items()):
+            self._metrics_rows.append(
+                {"epoch": -1, "name": f"sec:{name}", "second": sec,
+                 "value": v}
+            )
+        self._persec = {}
 
     def _metrics_table(self) -> pa.Table:
         if not self._metrics_rows:
@@ -1719,9 +1766,36 @@ def resume_crawl(corpus: pa.Table, cfg: CrawlConfig) -> CrawlResult:
         # shards' insert-if-absent dedup over its own earlier spooled
         # admission, so the re-visit 304s instead of re-writing the doc
         suspect = pa.concat_tables(
-            pq.read_table(f, columns=["url", "type", "depth", "etag"])
+            pq.read_table(
+                f, columns=["url", "url_hash", "type", "depth", "etag",
+                            "body"]
+            )
             for f in suspect_files
         )
+        # ADVICE r3 (medium): payload-backed (event-delivered) docs have
+        # no corpus row — re-offered as plain fetchable rows they would
+        # 404 → deadletter and their unflushed children stay orphaned,
+        # exactly the gap this recovery closes for corpus pages. The doc
+        # spool persists their payload body, so suspect rows ABSENT from
+        # the corpus re-offer with payload_body (zero-fetch) + stored
+        # etag: the 304 path re-traverses their children identically.
+        from ..stages.fetch import _digests_to_h64_tail
+
+        ih = engine._fetch_index["h64"]
+        it = engine._fetch_index["tail"]
+        if len(ih) and suspect.num_rows:
+            h64, tail = _digests_to_h64_tail(
+                suspect.column("url_hash").to_pylist()
+            )
+            pos = np.searchsorted(ih, h64)
+            clip = np.minimum(pos, len(ih) - 1)
+            in_corpus = (
+                (pos < len(ih))
+                & (ih[clip] == h64)
+                & (it[clip] == tail).all(axis=1)
+            )
+        else:
+            in_corpus = np.zeros(suspect.num_rows, dtype=bool)
         specs = [
             {
                 "url": u,
@@ -1729,12 +1803,15 @@ def resume_crawl(corpus: pa.Table, cfg: CrawlConfig) -> CrawlResult:
                 "depth": d,
                 "queue": cfg.child_queue,
                 "payload_etag": e or "",
+                "payload_body": "" if inc else (b or ""),
             }
-            for u, t, d, e in zip(
+            for u, t, d, e, b, inc in zip(
                 suspect.column("url").to_pylist(),
                 suspect.column("type").to_pylist(),
                 suspect.column("depth").to_pylist(),
                 suspect.column("etag").to_pylist(),
+                suspect.column("body").to_pylist(),
+                in_corpus,
             )
         ]
         engine._route(

@@ -75,6 +75,12 @@ METRICS_SCHEMA = pa.schema(
         ("epoch", pa.int32()),
         ("name", pa.string()),           # push/repush/done/abandon/fetch/...
         ("value", pa.int64()),
+        # per-second time-series rows (reference redis-metrics with
+        # timeGranularity 'second', lib/crawlerFactory.js:264-277):
+        # name carries a 'sec:' prefix, `second` is the wall-clock
+        # epoch second, epoch is -1. Null on per-epoch total rows, so
+        # aggregate consumers summing by bare name never double-count.
+        ("second", pa.int64()),
     ]
 )
 

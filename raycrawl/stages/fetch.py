@@ -802,7 +802,13 @@ class CrawlWorkerStage:
                 # of the visit kernel.
                 text, links = extract_page(body, urls[i], want_links=expand)
                 urn = "urn:page:" + url_hashes[i].hex()
-                doc_text, doc_body, doc_type = text, "", "page"
+                # payload-backed (event-delivered) rows persist their
+                # payload in the doc body column: no corpus row backs
+                # them, so crash recovery re-offers them WITH this body
+                # (zero-fetch + stored-etag 304) instead of deadlettering
+                # them as unfetchable pages (ADVICE r3)
+                doc_text, doc_type = text, "page"
+                doc_body = payload_bodies[i] if from_payload else ""
                 n_children = len(links)
                 for link in links:
                     children.append(("page", link, urn, "links", i, policy))
@@ -882,8 +888,10 @@ class CrawlWorkerStage:
             )
         )
         # one summary row per batch: depth←n_docs, discovery_ts←offered,
-        # attempt_count←admitted, status←failed, not_before←deadlettered
-        # (decoded by the engine)
+        # attempt_count←admitted, status←failed, not_before←deadlettered,
+        # parent_urn←fetched-count, relation←batch-completion wall
+        # second (per-second metric bucket, reference redis-metrics
+        # timeGranularity 'second') — decoded by the engine
         n_failed = int((statuses == 404).sum())
         summary = pa.Table.from_arrays(
             [
@@ -897,8 +905,8 @@ class CrawlWorkerStage:
                 pa.array([offered], pa.int64()),
                 pa.array([admitted], pa.int32()),
                 pa.array([dead], pa.int64()),
-                pa.array([""], pa.string()),
-                pa.array([""], pa.string()),
+                pa.array([str(len(urls))], pa.string()),
+                pa.array([str(int(_t.time()))], pa.string()),
                 pa.array([""], pa.string()),
                 pa.array([""], pa.string()),
                 pa.array([n_failed], pa.int32()),

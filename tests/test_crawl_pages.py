@@ -243,6 +243,58 @@ def test_pull_executor_matches_oracle(corpus, oracle, tmp_path, ray_session):
     _check_against_oracle(corpus, result, oracle)
 
 
+def _persec_check(result, names):
+    """Shared assertions for the per-second metric series (reference
+    redis-metrics timeGranularity 'second'): sec:* rows exist, carry a
+    wall second and epoch=-1, and each name's series sums to its
+    per-epoch total so the sub-epoch view never disagrees with the
+    rollup."""
+    rows = result.metrics.to_pylist()
+    sec_rows = [r for r in rows if r["name"].startswith("sec:")]
+    assert sec_rows
+    assert all(
+        r["second"] is not None and r["epoch"] == -1 for r in sec_rows
+    )
+    assert all(
+        r["second"] is None
+        for r in rows
+        if not r["name"].startswith("sec:")
+    )
+
+    def tot(name):
+        return sum(r["value"] for r in rows if r["name"] == name)
+
+    def sec_tot(name):
+        return sum(
+            r["value"] for r in sec_rows if r["name"] == f"sec:{name}"
+        )
+
+    for name in names:
+        assert sec_tot(name) == tot(name), name
+    assert sec_tot("done") == result.docs_written
+
+
+def test_per_second_metric_buckets_epoch(corpus, tmp_path):
+    _, result = _run(corpus, tmp_path)
+    # local/epoch mode resolves offers per batch -> push series too
+    _persec_check(result, ("fetch", "done", "offered", "push"))
+
+
+def test_per_second_metric_buckets_pull(corpus, tmp_path, ray_session):
+    cfg = CrawlConfig(
+        state_dir=str(tmp_path / "state"),
+        mode="ray",
+        ray_exec="pull",
+        num_shards=3,
+        fetch_concurrency=2,
+        fetch_batch_size=16,
+    )
+    result = CrawlEngine(corpus, cfg).run(seeds=default_seeds(2))
+    # buffered offers resolve at drain(), not per batch, so the pull
+    # executor has no per-second push series — fetch/done/offered do
+    _persec_check(result, ("fetch", "done", "offered"))
+
+
 def test_pull_resume_reproduces_seen_set(corpus, oracle, tmp_path, ray_session):
     """Kill a pull-mode crawl mid-flight; resume must converge to the
     identical URL-seen set / documents (north rule)."""
@@ -428,6 +480,89 @@ def test_pull_crash_window_resume(corpus, oracle, tmp_path, ray_session):
 
     result = resume_crawl(corpus, cfg)
     _check_against_oracle(corpus, result, oracle)
+
+
+def test_event_doc_crash_resume_recovers_payload_children(tmp_path):
+    """ADVICE r3 (medium): a payload-backed (event-delivered) doc in
+    the crash-suspect window has no corpus row. Recovery must re-offer
+    it WITH its persisted payload (zero-fetch + stored-etag 304) so its
+    unflushed children are re-extracted — not re-offer it as a
+    fetchable page, which would 404 → deadletter it and orphan the
+    children forever."""
+    import json as _json
+    import shutil
+    from glob import glob
+
+    import pyarrow as pa
+
+    from raycrawl.stages.extract import extract_text
+
+    corpus = make_pages_corpus(num_hosts=4, pages_per_host=10, seed=42)
+    # a corpus page reachable ONLY through the event payload's link
+    iso_url = "http://isolated.example.com/p/0"
+    iso_html = b"<html><body><p>isolated</p></body></html>"
+    corpus = pa.concat_tables(
+        [
+            corpus,
+            pa.table(
+                {
+                    "url": pa.array([iso_url], pa.string()),
+                    "warc_ts": pa.array(
+                        [corpus.column("warc_ts")[0].as_py()],
+                        pa.timestamp("us"),
+                    ),
+                    "html": pa.array([iso_html], pa.binary()),
+                    "text": pa.array([extract_text(iso_html)], pa.string()),
+                    "lang": pa.array(["en"], pa.string()),
+                }
+            ),
+        ]
+    )
+    evt_url = "http://events.example.com/hook/1"
+    payload = f'<html><body><a href="{iso_url}">i</a></body></html>'
+    seeds = default_seeds(2) + [
+        {
+            "url": evt_url,
+            "type": "event_trigger",
+            "queue": "events",
+            "payload_etag": "1",
+            "payload_body": payload,
+        }
+    ]
+    state = tmp_path / "state"
+    cfg = CrawlConfig(
+        state_dir=str(state), mode="local", num_shards=3, epoch_budget=50
+    )
+    CrawlEngine(corpus, cfg).run(seeds=seeds)
+
+    # crash emulation: seeds' docs (epoch 0, incl. the event doc) are
+    # durable, but NO admitted spool flushed and nothing later ran —
+    # the event's child link exists only inside the suspect doc's body
+    for d in (state / "admitted").iterdir():
+        shutil.rmtree(d)
+    for d in (state / "documents").iterdir():
+        if int(d.name.split("=")[1]) > 0:
+            shutil.rmtree(d)
+    mpath = state / "manifest.json"
+    m = _json.loads(mpath.read_text())
+    m["last_epoch"] = -1
+    m["completed"] = False
+    mpath.write_text(_json.dumps(m))
+
+    result = resume_crawl(corpus, cfg)
+
+    urls = []
+    for f in glob(str(state / "documents" / "epoch=*" / "*.parquet")):
+        urls.extend(pq.read_table(f, columns=["url"]).column("url").to_pylist())
+    # the event doc 304'd (exactly one stored version, no deadletter)
+    assert urls.count(evt_url) == 1
+    dead = set(result.deadletters_table().column("url").to_pylist())
+    assert evt_url not in dead and iso_url not in dead
+    # its orphaned child was re-extracted from the persisted payload
+    assert iso_url in urls
+    # and the whole crawl converged to the exact reachable set
+    reachable, _ = bfs_oracle(corpus, default_seeds(2))
+    assert set(urls) == reachable | {evt_url, iso_url}
 
 
 @pytest.mark.parametrize("ray_exec", ["pull", "actors"])

@@ -120,7 +120,10 @@ def test_knn_lsh_recall_vs_bruteforce(ray_session):
     exact_set = set(zip(exact["query_id"], exact["neighbor_id"]))
     approx_set = set(zip(approx["query_id"], approx["neighbor_id"]))
     recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.2, recall  # 8-table multiprobe LSH
+    # 8 planes x 16 tables, multiprobe=3: measured 0.60 on the
+    # (isotropic, clusterless) test embeddings while scanning ~25% of
+    # candidates — see the knob sweep note in textops.knn_lsh
+    assert recall >= 0.5, recall
 
 
 def test_embedding_near_dup_lsh_recall_and_precision(ray_session):
