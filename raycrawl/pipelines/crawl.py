@@ -105,8 +105,11 @@ class CrawlConfig:
     # rolling-min baseline) per `compute_window_sec` window; an
     # exhausted host is benched until window/4. The sandbox fetch is a
     # deterministic lookup, so duration is proxied as
-    # body_bytes / compute_bytes_per_ms (documented stand-in for wall
-    # time; an HTTP fetcher would report real elapsed ms). 0 = off.
+    # body_bytes / compute_bytes_per_ms; a fetcher that measures real
+    # wall time reports it via ``elapsed_ms(row)`` and its cost rows
+    # then carry measured microseconds instead (the A7 contract,
+    # pinned by test_real_latency_fetcher_feeds_compute_budget).
+    # 0 = off.
     compute_limit_ms: float = 0.0
     compute_window_sec: float = 15.0
     compute_bytes_per_ms: float = 1000.0
@@ -947,11 +950,18 @@ class CrawlEngine:
             result = result.filter(
                 pc.not_equal(result.column("type"), HOSTCOST_TYPE)
             )
-            for h, nbytes in zip(
+            for h, v, unit in zip(
                 hostcost.column("url_host").to_pylist(),
                 hostcost.column("discovery_ts").to_pylist(),
+                hostcost.column("attempt_count").to_pylist(),
             ):
-                ms = nbytes / self.cfg.compute_bytes_per_ms
+                # unit 1 = fetcher-measured microseconds (A7 real-
+                # latency contract); 0 = body bytes via the proxy rate
+                ms = (
+                    v / 1000.0
+                    if unit == 1
+                    else v / self.cfg.compute_bytes_per_ms
+                )
                 until = self.compute_budget.consume(h, ms, now_us)
                 if until is not None:
                     self._benched_hosts[h] = until
@@ -1195,7 +1205,7 @@ class CrawlEngine:
         _dbg = os.environ.get("RAYCRAWL_TIMING")
         _tm = {"seed": 0.0, "refill": 0.0, "dispatch": 0.0, "wait": 0.0,
                "absorb": 0.0, "fail": 0.0, "stall": 0.0, "final": 0.0,
-               "cycles": 0}
+               "cycles": 0, "chunks": 0, "sweeps": 0}
         _t = _time.perf_counter()
         cfg = self.cfg
         self._exec_active = "pull"
@@ -1366,11 +1376,18 @@ class CrawlEngine:
                         pc.not_equal(result.column("type"), HOSTCOST_TYPE)
                     )
                     changed = False
-                    for h, nbytes in zip(
+                    for h, v, unit in zip(
                         hostcost.column("url_host").to_pylist(),
                         hostcost.column("discovery_ts").to_pylist(),
+                        hostcost.column("attempt_count").to_pylist(),
                     ):
-                        ms = nbytes / self.cfg.compute_bytes_per_ms
+                        # unit 1 = fetcher-measured microseconds (A7);
+                        # 0 = body bytes via the proxy rate
+                        ms = (
+                            v / 1000.0
+                            if unit == 1
+                            else v / self.cfg.compute_bytes_per_ms
+                        )
                         until = self.compute_budget.consume(h, ms, clock_us)
                         if (
                             until is not None
@@ -1470,6 +1487,7 @@ class CrawlEngine:
                 )
                 inflight[ref] = widx
                 outstanding[widx] += 1
+                _tm["chunks"] += 1
             _tm["dispatch"] += _time.perf_counter() - _t
             if inflight:
                 # block for one completion, then sweep up everything
@@ -1487,6 +1505,7 @@ class CrawlEngine:
                 done += extra
                 for r in done:
                     outstanding[inflight.pop(r)] -= 1
+                _tm["sweeps"] += 1
                 _t2 = _time.perf_counter()
                 _tm["wait"] += _t2 - _t
                 absorb(ray.get(done))
@@ -1565,8 +1584,12 @@ class CrawlEngine:
         overall = hashlib.sha1("".join(digests).encode()).hexdigest()
         self._write_manifest(cycle, completed=True)
         self._exec_active = None
+        _tm["final"] = _time.perf_counter() - _t
+        # driver-loop time budget, readable by tools/dispatch_ceiling.py:
+        # every bucket except `wait` is driver work; `wait` is blocked-on-
+        # completion idle (fetch_local transfer overlaps worker compute)
+        self._pull_timing = dict(_tm)
         if _dbg:
-            _tm["final"] = _time.perf_counter() - _t
             print(
                 "[pull] "
                 + " ".join(f"{k}={v:.2f}" for k, v in _tm.items()),

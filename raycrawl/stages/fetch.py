@@ -222,6 +222,14 @@ class CrawlWorkerStage:
         # class with the TableFetcher interface (lookup/body/lang/
         # fetched_at) — e.g. an HTTP fetcher in a real deployment
         self.fetcher = (fetcher_cls or TableFetcher)(corpus, index)
+        # A7 latency contract: a fetcher that measures real wall time
+        # (an HTTP fetcher in a real deployment) exposes
+        # ``elapsed_ms(row) -> float`` and its host-cost rows then carry
+        # measured microseconds (unit flag 1) instead of the body-bytes
+        # proxy — the ComputeBudget baseline becomes a true network
+        # floor (reference probes real GET latency,
+        # lib/crawlerFactory.js:315-346).
+        self._elapsed_ms = getattr(self.fetcher, "elapsed_ms", None)
         self.shards = shards
         self.num_shards = len(shards)
         self.docs_dir = docs_dir
@@ -767,9 +775,13 @@ class CrawlWorkerStage:
                 row = int(idxs[i])
                 body = bodies[body_pos[i]]
             if row_hosts is not None and not from_payload:
-                # T6: every FETCH charges its bytes; embedded payloads
-                # cost no fetch
-                host_bytes[row_hosts[i]] += len(body)
+                # T6: every FETCH charges its cost; embedded payloads
+                # cost no fetch. Real measured latency when the fetcher
+                # reports it (A7 contract), else the body-bytes proxy.
+                if self._elapsed_ms is not None:
+                    host_bytes[row_hosts[i]] += self._elapsed_ms(row)
+                else:
+                    host_bytes[row_hosts[i]] += len(body)
             etag = etag_of(body)
             # 304-unchanged (etag match): no new document version is
             # written, but children STILL traverse — the reference
@@ -917,6 +929,15 @@ class CrawlWorkerStage:
         if host_bytes:
             hc = len(host_bytes)
             hosts_arr = list(host_bytes)
+            # unit flag (attempt_count): 1 = fetcher-measured
+            # MICROSECONDS (A7 real-latency contract), 0 = body BYTES
+            # (simulated-network proxy, engine divides by
+            # compute_bytes_per_ms)
+            unit = 1 if self._elapsed_ms is not None else 0
+            vals = [
+                int(round(host_bytes[h] * 1000)) if unit else host_bytes[h]
+                for h in hosts_arr
+            ]
             summary = pa.concat_tables(
                 [
                     summary,
@@ -929,11 +950,8 @@ class CrawlWorkerStage:
                             pa.array([""] * hc, pa.string()),
                             pa.array([""] * hc, pa.string()),
                             pa.array([0] * hc, pa.int32()),
-                            pa.array(
-                                [host_bytes[h] for h in hosts_arr],
-                                pa.int64(),
-                            ),
-                            pa.array([0] * hc, pa.int32()),
+                            pa.array(vals, pa.int64()),
+                            pa.array([unit] * hc, pa.int32()),
                             pa.array([0] * hc, pa.int64()),
                             pa.array([""] * hc, pa.string()),
                             pa.array([""] * hc, pa.string()),

@@ -188,6 +188,85 @@ def test_pull_compute_budget_same_result(corpus, oracle, tmp_path, ray_session):
     assert defer > 0  # budget exhaustion actually benched hosts
 
 
+def _latency_fetcher_cls():
+    """TableFetcher + the A7 real-latency contract: a fetcher that
+    measures wall time exposes ``elapsed_ms(row)`` and the worker's
+    host-cost rows then carry measured microseconds (unit flag 1)
+    instead of the body-bytes proxy. Here latency is deterministic:
+    host0 is a slow origin (60 ms), everything else 1 ms (the rolling-
+    min baseline). Defined inside a function so cloudpickle ships the
+    class BY VALUE to worker actors (a test-module-level class would
+    pickle by reference, unimportable in the worker)."""
+
+    class LatencyFetcher:
+        def __init__(self, corpus, index):
+            import numpy as np
+
+            from raycrawl.stages.fetch import TableFetcher
+
+            self._inner = TableFetcher(corpus, index)
+            hosts = [
+                u.split("://")[1].split("/")[0]
+                for u in corpus.column("url").to_pylist()
+            ]
+            self._ms = np.array(
+                [60.0 if h == "host0.example.com" else 1.0 for h in hosts]
+            )
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def elapsed_ms(self, row: int) -> float:
+            return float(self._ms[row])
+
+    return LatencyFetcher
+
+
+@pytest.mark.parametrize("mode", ["local", "pull"])
+def test_real_latency_fetcher_feeds_compute_budget(
+    corpus, oracle, tmp_path, ray_session, mode
+):
+    """A7 contract: when the injected fetcher reports real elapsed ms,
+    the ComputeBudget charges THOSE (not the byte proxy) — the slow
+    host exhausts its budget and benches, while a control run with the
+    byte-proxy fetcher at the same knobs never benches (the proxy rate
+    is set astronomically high). The crawl still converges exactly."""
+    knobs = dict(
+        compute_limit_ms=100.0,        # ~2 slow fetches of 59ms overage
+        compute_window_sec=40.0,
+        compute_bytes_per_ms=1e12,     # byte proxy ~ 0 ms: can't bench
+    )
+
+    def crawl(tag, fetcher_cls):
+        if mode == "local":
+            cfg = CrawlConfig(
+                state_dir=str(tmp_path / tag), mode="local",
+                num_shards=3, epoch_budget=50,
+                fetcher_cls=fetcher_cls, **knobs,
+            )
+        else:
+            cfg = CrawlConfig(
+                state_dir=str(tmp_path / tag), mode="ray",
+                ray_exec="pull", num_shards=3, fetch_concurrency=2,
+                fetch_batch_size=16, fetcher_cls=fetcher_cls, **knobs,
+            )
+        return CrawlEngine(corpus, cfg).run(seeds=default_seeds(2))
+
+    def defers(result):
+        return sum(
+            m["value"]
+            for m in result.metrics.to_pylist()
+            if m["name"] == "defer"
+        )
+
+    result = crawl("latency", _latency_fetcher_cls())
+    _check_against_oracle(corpus, result, oracle)
+    assert defers(result) > 0  # measured latency actually fed the budget
+    control = crawl("control", None)
+    _check_against_oracle(corpus, control, oracle)
+    assert defers(control) == 0  # byte proxy at these knobs cannot bench
+
+
 def test_bloom_filter_same_result(corpus, oracle, tmp_path):
     _, result = _run(
         corpus, tmp_path, seen_filter="bloom", seen_capacity=100_000
