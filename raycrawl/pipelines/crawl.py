@@ -35,6 +35,7 @@ where per-epoch Dataset overhead would dominate.
 
 from __future__ import annotations
 
+import itertools
 import json
 import math
 import os
@@ -91,6 +92,13 @@ class CrawlConfig:
     ray_exec: str = "actors"  # 'pull' (continuous) | 'actors' (epochs)
     fetch_concurrency: int = 8
     fetch_batch_size: int = 2048
+    # pull-executor dispatch tier (BASELINE.md "dispatch ceiling" scale
+    # path #2): 0 = the driver dispatches every chunk itself (measured
+    # ceiling ~74 workers at 4096-url chunks); N > 0 groups the workers
+    # under N NodeDispatcher actors (one per node on a real cluster)
+    # and the driver dispatches LEASES of ~group_size chunks, cutting
+    # its per-work-unit cost by the group factor.
+    node_dispatchers: int = 0
     fetcher_cls: type | None = None  # X3 injection; None = TableFetcher
     attenuate: bool = True
     # M5 crawl-scope filter (reference orgList, lib/crawlerFactory.js:62,
@@ -218,6 +226,50 @@ def build_frontier_rows(
         ],
         schema=FRONTIER_SCHEMA,
     )
+
+
+class NodeDispatcher:
+    """Per-node dispatch tier for the pull executor (BASELINE.md
+    "dispatch ceiling" scale path #2). The driver sends one LEASE — a
+    list of (table_ref, offset, size) chunks — per RPC; this actor fans
+    the chunks out to its node-local worker group and returns ONE
+    merged result table, so the driver pays O(leases) instead of
+    O(chunks). At the measured ~4 ms driver CPU per RPC and 8-16
+    workers per group, the single-driver ceiling moves from ~74
+    workers to the thousands.
+
+    Concurrency model: created with max_concurrency > 1 so consecutive
+    leases OVERLAP — each lease() call immediately queues its chunks
+    onto the group's worker actors (Ray actors execute queued calls
+    serially), so two in-flight leases reproduce the flat executor's
+    per-worker double-buffer without dispatcher-side scheduling state.
+    Chunks within a wave are uniform-sized, so rotating round-robin
+    placement balances the group. On a real cluster, one dispatcher is
+    scheduled per node (placement-group or node-affinity) so worker
+    results never leave the node before merging; a dispatcher death is
+    a node-sized failure domain handled the way node loss is —
+    checkpoint recovery via resume_crawl.
+    """
+
+    def __init__(self, workers: list) -> None:
+        self.workers = workers
+        self._rr = itertools.count()  # lease start offset (rotates)
+
+    def ping(self) -> bool:
+        return True
+
+    def lease(self, chunks: list, cycle: int, clock_us: int) -> pa.Table:
+        import ray
+
+        n = len(self.workers)
+        start = next(self._rr)
+        refs = [
+            self.workers[(start + i) % n].process_range.remote(
+                tref, off, size, cycle, clock_us
+            )
+            for i, (tref, off, size) in enumerate(chunks)
+        ]
+        return pa.concat_tables(ray.get(refs))
 
 
 class CrawlEngine:
@@ -432,13 +484,18 @@ class CrawlEngine:
             return
         import ray
 
-        for a in list(getattr(self, "workers", [])) + list(self.shards):
+        for a in (
+            list(getattr(self, "workers", []))
+            + list(self.shards)
+            + list(getattr(self, "_tiers", []))
+        ):
             try:
                 ray.kill(a, no_restart=True)
             except Exception:
                 pass
         self.workers = []
         self.shards = []
+        self._tiers = []
 
     # -- live config (T11/X5; reference routes/config.js:12-50) ------------
 
@@ -1205,7 +1262,7 @@ class CrawlEngine:
         _dbg = os.environ.get("RAYCRAWL_TIMING")
         _tm = {"seed": 0.0, "refill": 0.0, "dispatch": 0.0, "wait": 0.0,
                "absorb": 0.0, "fail": 0.0, "stall": 0.0, "final": 0.0,
-               "cycles": 0, "chunks": 0, "sweeps": 0}
+               "cycles": 0, "chunks": 0, "sweeps": 0, "leases": 0}
         _t = _time.perf_counter()
         cfg = self.cfg
         self._exec_active = "pull"
@@ -1225,8 +1282,28 @@ class CrawlEngine:
         # measured as a ~1.7x per-worker utilization gap at 24 workers
         # (completions arrive faster than the driver's turnaround).
         DEPTH = 2
-        outstanding = [0] * len(pool)
-        inflight: dict = {}
+        # dispatch tier (BASELINE.md scale path #2): group the workers
+        # under NodeDispatcher actors and dispatch LEASES of ~group
+        # chunks — one driver RPC per lease instead of per chunk. The
+        # dispatcher's max_concurrency lets consecutive leases overlap,
+        # reproducing the per-worker double-buffer one level up.
+        tiers: list = []
+        group = 1
+        if cfg.node_dispatchers > 0:
+            group = max(1, math.ceil(len(pool) / cfg.node_dispatchers))
+            disp_cls = ray.remote(
+                num_cpus=0, max_concurrency=DEPTH + 1
+            )(NodeDispatcher)
+            tiers = [
+                disp_cls.remote(pool[i : i + group])
+                for i in range(0, len(pool), group)
+            ]
+            ray.get([d.ping.remote() for d in tiers])
+        self._tiers = tiers  # close() kills leftovers on error paths
+        targets = tiers or pool
+        outstanding = [0] * len(targets)
+        inflight: dict = {}  # ref -> (target_idx, n_rows)
+        inflight_rows = 0
         work_q: deque = deque()  # (take_ref, offset, size)
         failed_tables: list[pa.Table] = []
         last_flushed_cycle = -1
@@ -1266,13 +1343,16 @@ class CrawlEngine:
             in one wave, unlike the per-cycle epoch barrier this
             executor exists to avoid."""
             nonlocal last_flushed_cycle, cycle, admitted_known
+            nonlocal inflight_rows
             while inflight:
                 done, _ = ray.wait(
                     list(inflight), num_returns=len(inflight),
                     fetch_local=True,
                 )
                 for r in done:
-                    outstanding[inflight.pop(r)] -= 1
+                    tidx, rows = inflight.pop(r)
+                    outstanding[tidx] -= 1
+                    inflight_rows -= rows
                 absorb(ray.get(done))
             admitted_known += sum(
                 ray.get([w.drain.remote() for w in pool])
@@ -1307,7 +1387,7 @@ class CrawlEngine:
                 return
             pending = sum(sum(c.values()) for c in last_counts)
             queued = sum(item[2] for item in work_q)
-            want = chunk * 4 * len(pool) - queued - len(inflight) * chunk
+            want = chunk * 4 * len(pool) - queued - inflight_rows
             if pending and want > 0:
                 per_shard, _ = self._quotas(last_counts, budget=want)
                 if per_shard is None:
@@ -1335,8 +1415,9 @@ class CrawlEngine:
             # adaptive slicing: a small wave (BFS ramp, crawl tail) is
             # split so every worker with spare depth gets a piece — a
             # fixed batch_size slice left 19 of 24 workers idle on the
-            # 20k-seed first wave
-            free = sum(1 for o in outstanding if o < DEPTH)
+            # 20k-seed first wave. (`group` converts free DISPATCH
+            # slots to free WORKER slots under the tier; 1 when flat.)
+            free = sum(group for o in outstanding if o < DEPTH)
             eff_chunk = max(
                 192, min(chunk, math.ceil(wave / max(1, free)))
             )
@@ -1478,16 +1559,32 @@ class CrawlEngine:
                 _tm["refill"] += _time.perf_counter() - _t
             _t = _time.perf_counter()
             while work_q:
-                widx = min(range(len(pool)), key=outstanding.__getitem__)
+                widx = min(
+                    range(len(targets)), key=outstanding.__getitem__
+                )
                 if outstanding[widx] >= DEPTH:
                     break
-                take_ref, off, size = work_q.popleft()
-                ref = pool[widx].process_range.remote(
-                    take_ref, off, size, cycle, clock_us
-                )
-                inflight[ref] = widx
+                if tiers:
+                    lease = [
+                        work_q.popleft()
+                        for _ in range(min(len(work_q), group))
+                    ]
+                    rows = sum(s for _, _, s in lease)
+                    ref = targets[widx].lease.remote(
+                        lease, cycle, clock_us
+                    )
+                    _tm["chunks"] += len(lease)
+                    _tm["leases"] += 1
+                else:
+                    take_ref, off, size = work_q.popleft()
+                    rows = size
+                    ref = targets[widx].process_range.remote(
+                        take_ref, off, size, cycle, clock_us
+                    )
+                    _tm["chunks"] += 1
+                inflight[ref] = (widx, rows)
                 outstanding[widx] += 1
-                _tm["chunks"] += 1
+                inflight_rows += rows
             _tm["dispatch"] += _time.perf_counter() - _t
             if inflight:
                 # block for one completion, then sweep up everything
@@ -1504,7 +1601,9 @@ class CrawlEngine:
                 )
                 done += extra
                 for r in done:
-                    outstanding[inflight.pop(r)] -= 1
+                    tidx, rows = inflight.pop(r)
+                    outstanding[tidx] -= 1
+                    inflight_rows -= rows
                 _tm["sweeps"] += 1
                 _t2 = _time.perf_counter()
                 _tm["wait"] += _t2 - _t
@@ -1584,6 +1683,12 @@ class CrawlEngine:
         overall = hashlib.sha1("".join(digests).encode()).hexdigest()
         self._write_manifest(cycle, completed=True)
         self._exec_active = None
+        for d in tiers:  # per-run actors; workers/shards outlive them
+            try:
+                ray.kill(d, no_restart=True)
+            except Exception:
+                pass
+        self._tiers = []
         _tm["final"] = _time.perf_counter() - _t
         # driver-loop time budget, readable by tools/dispatch_ceiling.py:
         # every bucket except `wait` is driver work; `wait` is blocked-on-

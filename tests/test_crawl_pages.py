@@ -404,6 +404,40 @@ def test_pull_resume_reproduces_seen_set(corpus, oracle, tmp_path, ray_session):
     _check_against_oracle(corpus, resumed, oracle)
 
 
+def test_pull_dispatch_tier_matches_oracle_and_resumes(
+    corpus, oracle, tmp_path, ray_session
+):
+    """node_dispatchers>0 (the per-node lease tier, BASELINE.md scale
+    path #2): the driver dispatches leases to NodeDispatcher actors
+    that fan chunks onto their worker group. Must crawl the exact
+    oracle set, and a mid-flight interrupt + resume must converge to
+    the identical URL-seen set — the lineage-flush barrier drains
+    LEASE refs, so the consistent-cut guarantee carries over."""
+
+    def cfg_for(tag):
+        return CrawlConfig(
+            state_dir=str(tmp_path / tag),
+            mode="ray",
+            ray_exec="pull",
+            num_shards=3,
+            fetch_concurrency=4,
+            fetch_batch_size=16,
+            node_dispatchers=2,
+        )
+
+    full = CrawlEngine(corpus, cfg_for("full")).run(seeds=default_seeds(2))
+    _check_against_oracle(corpus, full, oracle)
+    cfg = cfg_for("partial")
+    partial = CrawlEngine(corpus, cfg).run(
+        seeds=default_seeds(2), max_urls=40
+    )
+    assert partial.docs_written < full.docs_written  # actually interrupted
+    resumed = resume_crawl(corpus, cfg)
+    assert resumed.seen_digest == full.seen_digest
+    assert resumed.seen_count == full.seen_count
+    _check_against_oracle(corpus, resumed, oracle)
+
+
 def test_fetcher_injection(corpus, tmp_path):
     """X3 component injection (crawlerFactory.js:168-179; the golden
     tests swap the fetcher, processingTests.js:93-109): any class with

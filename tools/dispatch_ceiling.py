@@ -53,6 +53,9 @@ def measure(workers: int, corpus, num_shards: int, reserve: int) -> dict:
     from raycrawl.corpus import seeds_for_corpus
     from raycrawl.pipelines.crawl import CrawlConfig, CrawlEngine
 
+    # RAYCRAWL_DISPATCHERS=N measures the tiered mode (NodeDispatcher
+    # leases): driver cost per work unit should drop by ~group size
+    dispatchers = int(os.environ.get("RAYCRAWL_DISPATCHERS", "0"))
     seeds = seeds_for_corpus(corpus, max(64, corpus.num_rows // 50))
     state = tempfile.mkdtemp(prefix=f"raycrawl_ceiling_w{workers}_")
     cfg = CrawlConfig(
@@ -66,6 +69,7 @@ def measure(workers: int, corpus, num_shards: int, reserve: int) -> dict:
         reserve_cores=reserve,
         seen_filter="bloom",
         seen_capacity=max(1_000_000, corpus.num_rows * 4 // num_shards),
+        node_dispatchers=dispatchers,
     )
     engine = CrawlEngine(corpus, cfg)
     cpu0, t0 = _rusage(), time.perf_counter()
@@ -82,15 +86,21 @@ def measure(workers: int, corpus, num_shards: int, reserve: int) -> dict:
     fixed = tm["seed"] + tm["final"]
     loop_busy = sum(
         v for k, v in tm.items()
-        if k not in ("wait", "seed", "final", "cycles", "chunks", "sweeps")
+        if k not in ("wait", "seed", "final", "cycles", "chunks",
+                     "sweeps", "leases")
     )
     steady_wall = max(1e-9, wall - fixed)
     cpu_steady = max(0.0, cpu - fixed)  # fixed phases are ~CPU-bound too
+    # one driver RPC per lease under the tier, per chunk when flat
+    rpcs = tm["leases"] if dispatchers else chunks
     return {
         "workers": workers,
+        "node_dispatchers": dispatchers,
         "wall_sec": round(wall, 3),
         "urls": result.docs_written + result.deadlettered,
         "chunks": chunks,
+        "driver_rpcs": rpcs,
+        "proc_cpu_ms_per_rpc": round(1e3 * cpu_steady / max(1, rpcs), 3),
         "sweeps": tm["sweeps"],
         "chunks_per_sec": round(chunks / steady_wall, 1),
         "per_worker_chunks_per_sec": round(
