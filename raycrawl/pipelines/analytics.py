@@ -461,33 +461,47 @@ def deadletter_requeue(sf_dir: str):
 )
 def tpch_q1_pricing(sf_dir: str):
     """Baseline wide aggregate with in-batch partial aggregation
-    (combiner); the tiny final combine runs on the driver — SURVEY
-    §2.5/§4 pattern."""
-    cutoff = pd.Timestamp("1998-09-02")
+    (combiner, Arrow-native hash aggregation); the tiny final combine
+    runs on the driver — SURVEY §2.5/§4 pattern."""
+    import datetime
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["l_shipdate"] <= cutoff]
+    cutoff = pa.scalar(
+        datetime.datetime(1998, 9, 2), pa.timestamp("us")
+    )
+
+    def rename(t: pa.Table, mapping: dict) -> pa.Table:
+        return t.rename_columns(
+            [mapping.get(c, c) for c in t.column_names]
+        )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"), cutoff))
         charge = np.floor(
-            df["l_extendedprice"].values
-            * (1 - df["l_discount"].values)
-            * (1 + df["l_tax"].values)
+            t.column("l_extendedprice").to_numpy()
+            * (1 - t.column("l_discount").to_numpy())
+            * (1 + t.column("l_tax").to_numpy())
             * 100
             + 0.5
         ).astype(np.int64)
-        out = pd.DataFrame(
+        grouped = pa.table(
             {
-                "l_returnflag": df["l_returnflag"].values,
-                "l_linestatus": df["l_linestatus"].values,
-                "qty": df["l_quantity"].values.astype(np.int64),
-                "charge": charge,
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": pa.array(
+                    t.column("l_quantity").to_numpy().astype(np.int64)
+                ),
+                "charge": pa.array(charge),
             }
+        ).group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("charge", "sum"), ("qty", "count")]
         )
-        return out.groupby(
-            ["l_returnflag", "l_linestatus"], as_index=False
-        ).agg(
-            sum_qty=("qty", "sum"),
-            sum_charge_cents=("charge", "sum"),
-            count_order=("qty", "size"),
+        return rename(
+            grouped,
+            {
+                "qty_sum": "sum_qty",
+                "charge_sum": "sum_charge_cents",
+                "qty_count": "count_order",
+            },
         )
 
     ds = _read(
@@ -503,19 +517,34 @@ def tpch_q1_pricing(sf_dir: str):
             "l_shipdate",
         ],
     )
-    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    parts = list(
+        ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        )
+    )
     # ~(blocks x 6) partial rows: the final combine belongs on the
     # driver — a distributed Aggregate on 384 rows costs more in
     # shuffle machinery than it computes (measured 1.35 s of a 2.1 s
     # query)
-    out = partials.groupby(
-        ["l_returnflag", "l_linestatus"], as_index=False
-    ).agg(
-        sum_qty=("sum_qty", "sum"),
-        sum_charge_cents=("sum_charge_cents", "sum"),
-        count_order=("count_order", "sum"),
+    out = (
+        pa.concat_tables(parts)
+        .group_by(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            [
+                ("sum_qty", "sum"),
+                ("sum_charge_cents", "sum"),
+                ("count_order", "sum"),
+            ]
+        )
     )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return rename(
+        out,
+        {
+            "sum_qty_sum": "sum_qty",
+            "sum_charge_cents_sum": "sum_charge_cents",
+            "count_order_sum": "count_order",
+        },
+    )
 
 
 @query(
