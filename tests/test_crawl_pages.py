@@ -678,9 +678,13 @@ def test_event_doc_crash_resume_recovers_payload_children(tmp_path):
     assert set(urls) == reachable | {evt_url, iso_url}
 
 
-@pytest.mark.parametrize("ray_exec", ["pull", "actors"])
+@pytest.mark.parametrize(
+    "ray_exec,tiers",
+    [("pull", 0), ("actors", 0), ("pull", 2)],
+    ids=["pull", "actors", "pull-tier"],
+)
 def test_worker_death_replays_inflight_ranges(
-    corpus, oracle, tmp_path, ray_session, ray_exec
+    corpus, oracle, tmp_path, ray_session, ray_exec, tiers
 ):
     """W3 fault tolerance: a fetch worker that dies mid-crawl (OOM/node
     loss stand-in: os._exit inside the fetcher) restarts via
@@ -688,7 +692,10 @@ def test_worker_death_replays_inflight_ranges(
     max_task_retries. Replay is at-least-once — re-offered children are
     absorbed by the shards' insert-if-absent dedup and re-spooled doc
     rows collapse by url — so the crawled SET, per-url text, and
-    deadletter set must all stay exactly the BFS oracle's."""
+    deadletter set must all stay exactly the BFS oracle's. The
+    pull-tier case routes process_range through a NodeDispatcher: task
+    retries are caller-agnostic, so the replay guarantee must compose
+    with the lease tier unchanged."""
     import os as _os
 
     from raycrawl.stages.fetch import TableFetcher
@@ -716,14 +723,19 @@ def test_worker_death_replays_inflight_ranges(
                     _os._exit(1)
             return super().lookup(digests)
 
+    # 2 workers in every case (the tier case = 2 dispatchers x 1-worker
+    # groups): the crawl yields only ~6 dispatch chunks, so a wider pool
+    # can finish before ANY worker reaches the kamikaze's 3rd batch and
+    # the mid-crawl death never happens (observed flaky at 4 workers)
     cfg = CrawlConfig(
-        state_dir=str(tmp_path / f"state-{ray_exec}"),
+        state_dir=str(tmp_path / f"state-{ray_exec}-{tiers}"),
         mode="ray",
         ray_exec=ray_exec,
         num_shards=3,
         fetch_concurrency=2,
         fetch_batch_size=16,
         fetcher_cls=KamikazeFetcher,
+        node_dispatchers=tiers,
     )
     result = CrawlEngine(corpus, cfg).run(seeds=default_seeds(2))
     assert _os.path.exists(marker)  # a worker really died mid-crawl
