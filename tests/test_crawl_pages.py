@@ -553,6 +553,56 @@ CrawlEngine(corpus, cfg).run(seeds=default_seeds(2))
     )
 
 
+def test_dispatcher_death_recovers_via_resume(tmp_path, ray_session):
+    """A NodeDispatcher is a node-sized failure domain (BASELINE.md
+    dispatch-ceiling design): when one dies mid-crawl the run RAISES —
+    no silent loss — and checkpoint recovery (resume_crawl) converges
+    to the exact BFS oracle, same as any other crash."""
+    import threading
+    import time as _time
+
+    import ray
+
+    corpus = make_pages_corpus(num_hosts=12, pages_per_host=800, seed=42)
+    state = tmp_path / "state"
+    cfg = CrawlConfig(
+        state_dir=str(state),
+        mode="ray",
+        ray_exec="pull",
+        num_shards=3,
+        fetch_concurrency=4,
+        fetch_batch_size=256,
+        node_dispatchers=2,
+    )
+    engine = CrawlEngine(corpus, cfg)
+
+    def assassin():
+        # wait for the first durable checkpoint, then kill a dispatcher
+        t0 = _time.time()
+        manifest = state / "manifest.json"
+        while _time.time() - t0 < 60 and not manifest.exists():
+            _time.sleep(0.01)
+        if getattr(engine, "_tiers", []):
+            ray.kill(engine._tiers[0], no_restart=True)
+
+    killer = threading.Thread(target=assassin)
+    killer.start()
+    died = False
+    try:
+        engine.run(seeds=default_seeds(2))
+    except Exception:
+        died = True
+    killer.join()
+    engine.close()
+    if not died:  # pragma: no cover - host too fast for the kill
+        pytest.skip("crawl finished before the dispatcher kill landed")
+
+    result = resume_crawl(corpus, cfg)
+    _check_against_oracle(
+        corpus, result, bfs_oracle(corpus, default_seeds(2))
+    )
+
+
 def test_pull_crash_window_resume(corpus, oracle, tmp_path, ray_session):
     """Pull-executor crash artifact: docs exist beyond the manifest's
     last durable cycle while that window's admitted spools are gone
