@@ -1217,6 +1217,16 @@ class CrawlEngine:
         processed = 0
         while epoch < cfg.max_epochs:
             self._apply_config_patches()  # T11/X5: cycle-boundary patch
+            # config heartbeat (see lineage_flush): restarted workers
+            # revert live deltas to constructor values; re-pushing per
+            # epoch bounds the revert window to one epoch (both
+            # directions — a stray revert to ON would also corrupt the
+            # engine's non-summary row counting)
+            if self.cfg.mode == "ray":
+                for w in self.workers:
+                    w.set_track_host_cost.remote(
+                        self.compute_budget is not None
+                    )
             stats = self._epoch(epoch, clock_us)
             for cb in self._epoch_callbacks:
                 cb(self, epoch, stats)
@@ -1411,6 +1421,17 @@ class CrawlEngine:
             self._ingest_lineage(ray.get(refs), cycle)
             self._write_manifest(cycle, completed=False)
             cycle += 1
+            # config heartbeat: a worker that RESTARTED since the last
+            # flush re-ran __init__ with its constructor-time config,
+            # silently reverting live-patched deltas; re-pushing the
+            # current value every flush bounds that revert window to
+            # one flush interval (idempotent, fire-and-forget)
+            self._route_refs.extend(
+                w.set_track_host_cost.remote(
+                    self.compute_budget is not None
+                )
+                for w in pool
+            )
 
         pending_take: list | None = None  # in-flight (meta_ref, table_ref)
         starved = False  # last refill saw an empty frontier; wait for offers

@@ -306,8 +306,18 @@ class CrawlWorkerStage:
 
     def set_track_host_cost(self, on: bool) -> None:
         """Live-config hook: start/stop emitting HOSTCOST rows when the
-        compute limiter is toggled mid-crawl (T6 x T11)."""
+        compute limiter is toggled mid-crawl (T6 x T11). Also the
+        engine's per-flush config HEARTBEAT target: a restarted actor
+        re-runs __init__ with its constructor-time value, so the engine
+        re-pushes the live value at every lineage flush, bounding the
+        revert window to one flush interval."""
         self.track_host_cost = on
+
+    def host_cost_enabled(self) -> bool:
+        """Probe for the heartbeat test: the worker's CURRENT live
+        track_host_cost value (reverts to the constructor value on
+        restart until the next heartbeat re-push)."""
+        return self.track_host_cost
 
     def ping(self) -> bool:
         """Readiness probe: returns once ``__init__`` (incl. the corpus

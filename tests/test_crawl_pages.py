@@ -553,6 +553,74 @@ CrawlEngine(corpus, cfg).run(seeds=default_seeds(2))
     )
 
 
+def test_config_heartbeat_restores_live_deltas_after_restart(
+    tmp_path, ray_session
+):
+    """A restarted worker re-runs __init__ with its constructor-time
+    config, silently reverting live-patched deltas (the documented
+    round-3 deviation). The engine now re-pushes the live value at
+    every lineage flush (config heartbeat), so by crawl end EVERY
+    worker — including one that died and restarted mid-crawl — must
+    report the PATCHED track_host_cost, not the constructor value."""
+    import os as _os
+
+    import ray
+
+    from raycrawl.stages.fetch import TableFetcher
+
+    marker = str(tmp_path / "killed.marker")
+
+    class Kamikaze(TableFetcher):
+        def __init__(self, corpus, index):
+            super().__init__(corpus, index)
+            self._calls = 0
+
+        def lookup(self, digests):
+            self._calls += 1
+            if self._calls == 3:
+                try:
+                    fd = _os.open(marker, _os.O_CREAT | _os.O_EXCL)
+                except FileExistsError:
+                    pass
+                else:
+                    _os.close(fd)
+                    _os._exit(1)
+            return super().lookup(digests)
+
+    corpus = make_pages_corpus(num_hosts=12, pages_per_host=800, seed=42)
+    cfg = CrawlConfig(
+        state_dir=str(tmp_path / "state"),
+        mode="ray",
+        ray_exec="pull",
+        num_shards=3,
+        fetch_concurrency=2,
+        fetch_batch_size=256,
+        fetcher_cls=Kamikaze,
+        compute_limit_ms=0.0,  # constructor: host-cost OFF
+    )
+    engine = CrawlEngine(corpus, cfg)
+    # the budget exists ONLY as a live patch (limit huge: ON, never
+    # benches, so the crawl result is unaffected)
+    engine.patch_config(
+        [
+            {
+                "op": "replace",
+                "path": "/fetcher/compute_limit_ms",
+                "value": 1e12,
+            }
+        ]
+    )
+    engine.run(seeds=default_seeds(2))
+    assert _os.path.exists(marker)  # a worker really died and restarted
+    # per-caller actor-task ordering: these probes were submitted after
+    # the final flush's heartbeat pushes, so they observe them
+    states = ray.get(
+        [w.host_cost_enabled.remote() for w in engine.workers]
+    )
+    assert all(states), states
+    engine.close()
+
+
 def test_dispatcher_death_recovers_via_resume(tmp_path, ray_session):
     """A NodeDispatcher is a node-sized failure domain (BASELINE.md
     dispatch-ceiling design): when one dies mid-crawl the run RAISES —
