@@ -234,6 +234,25 @@ def run_bench() -> dict:
             "vs_unbounded": round(pwall / wall, 2),
         }
 
+    # dispatch-tier entry: same crawl with the per-node lease tier
+    # active (node_dispatchers=4 — the >74-worker scale path, see
+    # BASELINE.md "dispatch ceiling"). One run: the figure documents
+    # the single-box tier overhead (~0-6% measured; driver CPU ~45%
+    # lower), not a second headline.
+    tier = None
+    if not crawl_only:
+        ndisp = int(os.environ.get("GRAFT_TIER_DISPATCHERS", "4"))
+        twall, tcrawled, _, _ = crawl_once(
+            "tier", node_dispatchers=ndisp
+        )
+        tier = {
+            "value": round(twall, 3),
+            "urls_crawled": tcrawled,
+            "urls_per_sec": round(tcrawled / twall, 1),
+            "node_dispatchers": ndisp,
+            "vs_unbounded": round(twall / wall, 2),
+        }
+
     # spill entry (measured above, before the headline): attach the
     # vs_unbounded ratio now that the headline wall time is known.
     spill = None
@@ -288,6 +307,8 @@ def run_bench() -> dict:
         out["polite"] = polite
     if spill is not None:
         out["spill"] = spill
+    if tier is not None:
+        out["tier"] = tier
     return out
 
 
