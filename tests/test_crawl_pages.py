@@ -671,6 +671,55 @@ def test_dispatcher_death_recovers_via_resume(tmp_path, ray_session):
     )
 
 
+def test_shard_death_recovers_via_resume(tmp_path, ray_session):
+    """Frontier shards hold seen-filter + pending state in memory; a
+    shard death aborts the run (its in-flight RPCs raise — no silent
+    loss) and checkpoint recovery must converge exactly: children
+    admitted to the dead shard after its last flushed spool are lost
+    with it, but their parent docs sit in the post-manifest suspect
+    window and re-offer on resume, re-discovering them."""
+    import threading
+    import time as _time
+
+    import ray
+
+    corpus = make_pages_corpus(num_hosts=12, pages_per_host=800, seed=42)
+    state = tmp_path / "state"
+    cfg = CrawlConfig(
+        state_dir=str(state),
+        mode="ray",
+        ray_exec="pull",
+        num_shards=3,
+        fetch_concurrency=2,
+        fetch_batch_size=256,
+    )
+    engine = CrawlEngine(corpus, cfg)
+
+    def assassin():
+        t0 = _time.time()
+        manifest = state / "manifest.json"
+        while _time.time() - t0 < 60 and not manifest.exists():
+            _time.sleep(0.01)
+        ray.kill(engine.shards[1], no_restart=True)
+
+    killer = threading.Thread(target=assassin)
+    killer.start()
+    died = False
+    try:
+        engine.run(seeds=default_seeds(2))
+    except Exception:
+        died = True
+    killer.join()
+    engine.close()
+    if not died:  # pragma: no cover - host too fast for the kill
+        pytest.skip("crawl finished before the shard kill landed")
+
+    result = resume_crawl(corpus, cfg)
+    _check_against_oracle(
+        corpus, result, bfs_oracle(corpus, default_seeds(2))
+    )
+
+
 def test_pull_crash_window_resume(corpus, oracle, tmp_path, ray_session):
     """Pull-executor crash artifact: docs exist beyond the manifest's
     last durable cycle while that window's admitted spools are gone
