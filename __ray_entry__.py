@@ -9,10 +9,12 @@ of the callables below (nor the raycrawl library) ever call
 - ``queries()``: one entry per implemented operator from SURVEY.md §2
   (crawl-operator analogues + training-data ops), each a callable
   ``fn(sf_dir) -> Dataset | pyarrow.Table | pandas.DataFrame``.
-- ``oracle_sql()``: DuckDB twins for the SQL-expressible subset;
-  non-SQL-expressible ops (iterative crawl, sketches, ANN, heuristics)
-  are intentionally omitted → rows-only driver check, with their real
-  oracles asserted in tests/.
+- ``oracle_sql()``: a DuckDB twin for EVERY query — including the
+  iterative crawl (recursive-CTE BFS over a deterministic sidecar link
+  graph) and the approximate ANN paths (seeded hyperplane / k-means
+  constants inlined, the whole bucketing/training chain reproduced in
+  SQL). Recall floors and executor-level oracles are additionally
+  asserted in tests/.
 """
 
 from __future__ import annotations

@@ -3,9 +3,12 @@ dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
 search (brute-force + LSH ANN), text analysis (lang-ID, quality,
 token counting, fingerprinting), and the multimodal binary-payload
 plumbing. Registered into the same QUERIES/ORACLES registry as
-analytics.py; entries without oracle SQL are non-SQL-expressible and
-get the driver's rows-only check (their correctness is asserted in
-tests/test_textops.py instead)."""
+analytics.py. Every entry — including the approximate ANN paths —
+carries a full DuckDB twin: seeded constants (minhash permutations,
+LSH hyperplanes, k-means initial picks) are inlined into the SQL,
+and the oracle independently reproduces the whole pipeline (bucket
+codes, multiprobe, unrolled Lloyd iterations). Recall floors for the
+approximate paths are additionally asserted in tests/test_textops.py."""
 
 from __future__ import annotations
 
@@ -800,7 +803,162 @@ def knn_cosine(sf_dir: str):
     )
 
 
-@query("knn_lsh")  # approximate — rows-only check (recall vs brute in tests)
+_EMB_DIM_ORACLE = 64  # embeddings dim at the driver's oracle scales
+_IVF_TRAIN_N_ORACLE = 500  # embeddings rows at sf0.001 AND sf0.01
+
+
+def _lsh_planes_sql_values(planes: np.ndarray) -> str:
+    """LshIndex.planes (T, dim, P) -> SQL VALUES rows
+    ``(tbl, pl, vec DOUBLE[])`` — the seeded hyperplane constants
+    inlined into the oracle, the minhash-permutation pattern."""
+    rows = []
+    T, _, P = planes.shape
+    for t in range(T):
+        for p in range(P):
+            vec = ",".join(repr(float(v)) for v in planes[t, :, p])
+            rows.append(f"({t},{p},[{vec}]::DOUBLE[])")
+    return ",\n".join(rows)
+
+
+def _knn_lsh_oracle_sql() -> str:
+    """Exact DuckDB twin of knn_lsh, built at import from the SAME
+    seeded hyperplanes the pipeline uses (data-independent constants;
+    the minhash-oracle pattern). The SQL independently reproduces the
+    whole approximate pipeline: sign-bit bucket codes per table
+    (projection > 0, weight 1<<plane), the query's multiprobe set
+    (base code plus the 3 lowest-|margin| single-bit flips — XOR in
+    SQL), the candidate union across 16 tables, and the exact cosine
+    top-k over candidates with (score DESC, id ASC) ties. Projections
+    use the raw DOUBLE embeddings — bucket bits and margin order are
+    scale-invariant, so normalization (a no-op for signs) is skipped
+    on both sides. dim is baked at 64 (all testdata scales)."""
+    index = LshIndex(_EMB_DIM_ORACLE, num_planes=8, seed=11, num_tables=16)
+    vals = _lsh_planes_sql_values(index.planes)
+    return f"""
+    WITH planes(tbl, pl, vec) AS (VALUES {vals}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    q AS (SELECT vec_id AS qid, emb FROM e WHERE vec_id < {_KNN_QUERIES}),
+    eproj AS (SELECT e.vec_id, p.tbl, p.pl,
+                     list_dot_product(e.emb, p.vec) AS pr
+              FROM e CROSS JOIN planes p),
+    ecode AS (SELECT vec_id, tbl,
+                     CAST(SUM(CASE WHEN pr > 0 THEN 1 << pl ELSE 0 END)
+                          AS BIGINT) AS code
+              FROM eproj GROUP BY vec_id, tbl),
+    qproj AS (SELECT q.qid, p.tbl, p.pl,
+                     list_dot_product(q.emb, p.vec) AS pr
+              FROM q CROSS JOIN planes p),
+    qcode AS (SELECT qid, tbl,
+                     CAST(SUM(CASE WHEN pr > 0 THEN 1 << pl ELSE 0 END)
+                          AS BIGINT) AS code
+              FROM qproj GROUP BY qid, tbl),
+    qflip AS (SELECT qid, tbl, pl,
+                     ROW_NUMBER() OVER (PARTITION BY qid, tbl
+                                        ORDER BY ABS(pr), pl) AS rk
+              FROM qproj),
+    probes AS (
+      SELECT qid, tbl, code FROM qcode
+      UNION
+      SELECT f.qid, f.tbl, xor(c.code, CAST(1 << f.pl AS BIGINT))
+      FROM qflip f JOIN qcode c USING (qid, tbl) WHERE f.rk <= 3
+    ),
+    cand AS (
+      SELECT DISTINCT pr.qid, c.vec_id
+      FROM probes pr JOIN ecode c ON c.tbl = pr.tbl AND c.code = pr.code
+      WHERE c.vec_id != pr.qid
+    )
+    SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM (
+      SELECT cand.qid, cand.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY cand.qid ORDER BY
+               list_cosine_similarity(e.emb, q.emb) DESC, cand.vec_id)
+               AS rank
+      FROM cand JOIN e ON e.vec_id = cand.vec_id
+                JOIN q ON q.qid = cand.qid
+    ) t WHERE rank <= {_KNN_K}
+    """
+
+
+def _knn_ivf_oracle_sql(
+    n_train: int = _IVF_TRAIN_N_ORACLE,
+    iters: int = 3,
+    num_lists: int = 16,
+    nprobe: int = 4,
+) -> str:
+    """Exact DuckDB twin of knn_ivf — the seeded k-means TRAINING is
+    itself unrolled in SQL (``iters`` Lloyd steps as CTE chain), so the
+    only inlined constants are the seed-derived initial-centroid row
+    indices. Per step: assignment = argmax centroid dot (ROW_NUMBER
+    ties to the lower list, matching argmax-first), new centroid =
+    normalized element-wise mean via unnest/generate_subscripts with
+    the previous centroid kept for empty lists. Query probing (top
+    nprobe lists, stable ties) and the final exact cosine top-k mirror
+    the pipeline. n_train is baked at 500 = the embeddings row count
+    at BOTH driver oracle scales (sf0.001 and sf0.01, where
+    min(2048, n) = n); the pipeline itself derives it from the data."""
+    rng = np.random.default_rng(11)
+    pick = np.sort(
+        rng.choice(n_train, size=min(num_lists, n_train), replace=False)
+    )
+    picks = ",".join(str(int(i)) for i in pick)
+    sql = [f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    en AS (SELECT vec_id,
+                  list_transform(emb, x -> x / sqrt(list_dot_product(emb, emb))) AS nemb,
+                  emb
+           FROM e),
+    tr AS (SELECT vec_id, nemb FROM en WHERE vec_id < {n_train}),
+    c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS lst, nemb AS cvec
+           FROM en WHERE vec_id IN ({picks}))"""]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        cur = f"c{it}"
+        sql.append(f""",
+    a{it} AS (SELECT vec_id, lst FROM (
+        SELECT tr.vec_id, c.lst,
+               ROW_NUMBER() OVER (PARTITION BY tr.vec_id ORDER BY
+                 list_dot_product(tr.nemb, c.cvec) DESC, c.lst) AS rk
+        FROM tr CROSS JOIN {prev} c) t WHERE rk = 1),
+    m{it} AS (SELECT lst, list(mv ORDER BY pos) AS mvec FROM (
+        SELECT a.lst, u.pos, AVG(u.v) AS mv
+        FROM a{it} a JOIN tr USING (vec_id),
+             LATERAL (SELECT unnest(tr.nemb) AS v,
+                             generate_subscripts(tr.nemb, 1) AS pos) u
+        GROUP BY a.lst, u.pos) g GROUP BY lst),
+    {cur} AS (SELECT c.lst,
+        CASE WHEN m.mvec IS NULL
+                  OR sqrt(list_dot_product(m.mvec, m.mvec)) = 0
+             THEN c.cvec
+             ELSE list_transform(m.mvec,
+                    x -> x / sqrt(list_dot_product(m.mvec, m.mvec)))
+        END AS cvec
+      FROM {prev} c LEFT JOIN m{it} m USING (lst))""")
+        prev = cur
+    sql.append(f""",
+    q AS (SELECT vec_id AS qid, nemb, emb FROM en WHERE vec_id < {_KNN_QUERIES}),
+    qprobe AS (SELECT qid, lst FROM (
+        SELECT q.qid, c.lst,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 list_dot_product(q.nemb, c.cvec) DESC, c.lst) AS rk
+        FROM q CROSS JOIN {prev} c) t WHERE rk <= {nprobe}),
+    easg AS (SELECT vec_id, lst FROM (
+        SELECT en.vec_id, c.lst,
+               ROW_NUMBER() OVER (PARTITION BY en.vec_id ORDER BY
+                 list_dot_product(en.nemb, c.cvec) DESC, c.lst) AS rk
+        FROM en CROSS JOIN {prev} c) t WHERE rk = 1),
+    cand AS (SELECT DISTINCT p.qid, a.vec_id
+             FROM qprobe p JOIN easg a USING (lst)
+             WHERE a.vec_id != p.qid)
+    SELECT qid AS query_id, vec_id AS neighbor_id, rank FROM (
+      SELECT cand.qid, cand.vec_id,
+             ROW_NUMBER() OVER (PARTITION BY cand.qid ORDER BY
+               list_cosine_similarity(e.emb, q.emb) DESC, cand.vec_id) AS rank
+      FROM cand JOIN e ON e.vec_id = cand.vec_id
+                JOIN q ON q.qid = cand.qid
+    ) t WHERE rank <= {_KNN_K}""")
+    return "".join(sql)
+
+
+@query("knn_lsh", _knn_lsh_oracle_sql())
 def knn_lsh(sf_dir: str):
     """LSH-bucketed ANN (the scale path): bucket codes per batch, search
     only matching buckets with multiprobe.
@@ -810,7 +968,9 @@ def knn_lsh(sf_dir: str):
     for LSH, no cluster structure): recall 0.60 vs brute force while
     scanning ~25% of candidates; fewer planes or more probes push
     recall toward 1.0 only by degenerating into a full scan. The 0.5
-    recall floor is asserted in tests/test_textops.py."""
+    recall floor is asserted in tests/test_textops.py; the result is
+    additionally hash-checked against _knn_lsh_oracle_sql's full SQL
+    reproduction of the bucketing/multiprobe/scoring chain."""
     import ray
 
     head = pq.read_table(
@@ -886,13 +1046,16 @@ def knn_lsh(sf_dir: str):
     )
 
 
-@query("knn_ivf")  # approximate — recall vs brute force in tests
+@query("knn_ivf", _knn_ivf_oracle_sql())
 def knn_ivf(sf_dir: str):
     """IVF ANN (the second scale path, alongside LSH): deterministic
     k-means centroids trained on a seeded sample, rows assigned to
     their nearest list per batch, queries probing the nprobe nearest
     lists. At 10^10 rows the assignment becomes a Parquet partition key
-    so a query reads only nprobe partitions."""
+    so a query reads only nprobe partitions. Recall vs brute force is
+    asserted in tests; the full pipeline INCLUDING the seeded k-means
+    training is hash-checked against _knn_ivf_oracle_sql's unrolled
+    Lloyd iterations in SQL."""
     import ray
 
     from ..functions.similarity import IvfIndex
@@ -1175,13 +1338,47 @@ def embedding_near_dup(sf_dir: str):
     )
 
 
-@query("embedding_near_dup_lsh")  # approximate — recall floor in tests
+def _near_dup_lsh_oracle_sql() -> str:
+    """Exact DuckDB twin of embedding_near_dup_lsh, built at import from
+    the SAME seeded hyperplanes (16 tables x 4 planes). The pipeline's
+    first-colliding-table trick is pure distributed DEDUP, mirrored by
+    DISTINCT over the bucket self-join; verification is the shared
+    rounded-basis-point cosine discipline of embedding_near_dup."""
+    index = LshIndex(_EMB_DIM_ORACLE, num_planes=4, seed=11, num_tables=16)
+    vals = _lsh_planes_sql_values(index.planes)
+    return f"""
+    WITH planes(tbl, pl, vec) AS (VALUES {vals}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+    eproj AS (SELECT e.vec_id, p.tbl, p.pl,
+                     list_dot_product(e.emb, p.vec) AS pr
+              FROM e CROSS JOIN planes p),
+    ecode AS (SELECT vec_id, tbl,
+                     CAST(SUM(CASE WHEN pr > 0 THEN 1 << pl ELSE 0 END)
+                          AS BIGINT) AS code
+              FROM eproj GROUP BY vec_id, tbl),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM ecode a JOIN ecode b
+        ON a.tbl = b.tbl AND a.code = b.code AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, sim_bp FROM (
+      SELECT id_a, id_b,
+             CAST(FLOOR(list_cosine_similarity(ea.emb, eb.emb) * 10000 + 0.5)
+                  AS BIGINT) AS sim_bp
+      FROM pairs JOIN e ea ON ea.vec_id = pairs.id_a
+                 JOIN e eb ON eb.vec_id = pairs.id_b
+    ) t WHERE sim_bp >= {_NEAR_DUP_BP}
+    """
+
+
+@query("embedding_near_dup_lsh", _near_dup_lsh_oracle_sql())
 def embedding_near_dup_lsh(sf_dir: str):
     """LSH-band-blocked near-dup pairs — the 10^10-doc scale path for
     HIGH thresholds (true near-duplicates), where band collision
     probability is high. Pairs are generated only within LSH buckets
     (knn_lsh pattern) and exact-verified with the dot product; recall
-    vs the exact path is asserted in tests/test_textops.py. At the low
+    vs the exact path is asserted in tests/test_textops.py, and the
+    result hash-checks against _near_dup_lsh_oracle_sql. At the low
     tau used by the exact query, banding is lossy by nature — which is
     why the exact query above uses the IVF bound instead."""
     dim = None

@@ -56,9 +56,9 @@ def test_all_queries_have_callables(registry):
     queries, oracles = registry
     assert len(queries) >= 34
     assert set(oracles) <= set(queries)
-    # 31/34 hash-check against DuckDB; a regression that silently drops
-    # a query to rows-only should fail here
-    assert len(oracles) >= 31
+    # every query hash-checks against DuckDB; a regression that
+    # silently drops a query to rows-only should fail here
+    assert len(oracles) >= 34
 
 
 @pytest.mark.parametrize(
@@ -73,6 +73,7 @@ def test_all_queries_have_callables(registry):
         "label_counts", "multimodal_payload_stats", "quality_scores",
         "embedding_near_dup", "langid_heuristic", "doc_fingerprints",
         "simhash_fingerprints", "ngram_jaccard_topk", "minhash_lsh_dupes",
+        "knn_lsh", "knn_ivf", "embedding_near_dup_lsh",
     ],
 )
 def test_query_matches_oracle(registry, con, name):
