@@ -927,6 +927,41 @@ class CrawlEngine:
         # Both reasons for the escape hatch still hold on this release.
         raise ValueError(f"unknown ray_exec mode: {self.cfg.ray_exec!r}")
 
+    def _charge_host_costs(
+        self, result: pa.Table, now_us: int
+    ) -> tuple[pa.Table, bool]:
+        """Split HOSTCOST rows out of a worker result table and charge
+        them to the compute budget (T6) — the ONE decode of the cost-row
+        unit flag, shared by both executors so they can never charge
+        different budgets for the same crawl: unit 1 = fetcher-measured
+        microseconds (A7 real-latency contract), 0 = body bytes via the
+        proxy rate. Returns (result minus cost rows, whether any host's
+        bench_until changed)."""
+        hostcost = result.filter(
+            pc.equal(result.column("type"), HOSTCOST_TYPE)
+        )
+        if not hostcost.num_rows:
+            return result, False
+        result = result.filter(
+            pc.not_equal(result.column("type"), HOSTCOST_TYPE)
+        )
+        changed = False
+        for h, v, unit in zip(
+            hostcost.column("url_host").to_pylist(),
+            hostcost.column("discovery_ts").to_pylist(),
+            hostcost.column("attempt_count").to_pylist(),
+        ):
+            ms = (
+                v / 1000.0
+                if unit == 1
+                else v / self.cfg.compute_bytes_per_ms
+            )
+            until = self.compute_budget.consume(h, ms, now_us)
+            if until is not None and self._benched_hosts.get(h) != until:
+                self._benched_hosts[h] = until
+                changed = True
+        return result, changed
+
     def _epoch(self, epoch: int, now_us: int) -> dict:
         import time as _time
 
@@ -1036,27 +1071,7 @@ class CrawlEngine:
         _t4 = _time.perf_counter()
 
         if self.compute_budget is not None:
-            hostcost = result.filter(
-                pc.equal(result.column("type"), HOSTCOST_TYPE)
-            )
-            result = result.filter(
-                pc.not_equal(result.column("type"), HOSTCOST_TYPE)
-            )
-            for h, v, unit in zip(
-                hostcost.column("url_host").to_pylist(),
-                hostcost.column("discovery_ts").to_pylist(),
-                hostcost.column("attempt_count").to_pylist(),
-            ):
-                # unit 1 = fetcher-measured microseconds (A7 real-
-                # latency contract); 0 = body bytes via the proxy rate
-                ms = (
-                    v / 1000.0
-                    if unit == 1
-                    else v / self.cfg.compute_bytes_per_ms
-                )
-                until = self.compute_budget.consume(h, ms, now_us)
-                if until is not None:
-                    self._benched_hosts[h] = until
+            result, _ = self._charge_host_costs(result, now_us)
 
         summaries = result.filter(pc.equal(result.column("type"), SUMMARY_TYPE))
         self._absorb_persec(summaries)
@@ -1485,12 +1500,25 @@ class CrawlEngine:
             # adaptive slicing: a small wave (BFS ramp, crawl tail) is
             # split so every worker with spare depth gets a piece — a
             # fixed batch_size slice left 19 of 24 workers idle on the
-            # 20k-seed first wave. (`lease_n` converts free DISPATCH
-            # slots to free WORKER slots under the tier; 1 when flat.)
-            free = min(
-                len(pool),
-                sum(lease_n for o in outstanding if o < depth_cap),
-            )
+            # 20k-seed first wave. Under the tier, capacity is counted
+            # in CHUNKS (free lease slots x lease_n chunks per lease,
+            # capped at the pool) — counting each non-full dispatcher
+            # as one lease undercounted an idle pool ~2x and split the
+            # ramp wave across only half the workers.
+            if tiers:
+                free = min(
+                    len(pool),
+                    sum(
+                        lease_n * (depth_cap - o)
+                        for o in outstanding
+                        if o < depth_cap
+                    ),
+                )
+            else:
+                free = min(
+                    len(pool),
+                    sum(1 for o in outstanding if o < depth_cap),
+                )
             eff_chunk = max(
                 192, min(chunk, math.ceil(wave / max(1, free)))
             )
@@ -1522,43 +1550,17 @@ class CrawlEngine:
                 # bench_until (fire-and-forget — benching binds from the
                 # next take wave, the same next-window semantics epoch
                 # mode has).
-                hostcost = result.filter(
-                    pc.equal(result.column("type"), HOSTCOST_TYPE)
-                )
-                if hostcost.num_rows:
-                    result = result.filter(
-                        pc.not_equal(result.column("type"), HOSTCOST_TYPE)
+                result, changed = self._charge_host_costs(result, clock_us)
+                if changed:
+                    self._benched_hosts = {
+                        h: u
+                        for h, u in self._benched_hosts.items()
+                        if u > clock_us
+                    }
+                    self._route_refs.extend(
+                        s.set_benched.remote(self._benched_hosts)
+                        for s in self.shards
                     )
-                    changed = False
-                    for h, v, unit in zip(
-                        hostcost.column("url_host").to_pylist(),
-                        hostcost.column("discovery_ts").to_pylist(),
-                        hostcost.column("attempt_count").to_pylist(),
-                    ):
-                        # unit 1 = fetcher-measured microseconds (A7);
-                        # 0 = body bytes via the proxy rate
-                        ms = (
-                            v / 1000.0
-                            if unit == 1
-                            else v / self.cfg.compute_bytes_per_ms
-                        )
-                        until = self.compute_budget.consume(h, ms, clock_us)
-                        if (
-                            until is not None
-                            and self._benched_hosts.get(h) != until
-                        ):
-                            self._benched_hosts[h] = until
-                            changed = True
-                    if changed:
-                        self._benched_hosts = {
-                            h: u
-                            for h, u in self._benched_hosts.items()
-                            if u > clock_us
-                        }
-                        self._route_refs.extend(
-                            s.set_benched.remote(self._benched_hosts)
-                            for s in self.shards
-                        )
             summaries = result.filter(
                 pc.equal(result.column("type"), SUMMARY_TYPE)
             )
@@ -1980,23 +1982,11 @@ def resume_crawl(corpus: pa.Table, cfg: CrawlConfig) -> CrawlResult:
         # spool persists their payload body, so suspect rows ABSENT from
         # the corpus re-offer with payload_body (zero-fetch) + stored
         # etag: the 304 path re-traverses their children identically.
-        from ..stages.fetch import _digests_to_h64_tail
+        from ..stages.fetch import index_lookup
 
-        ih = engine._fetch_index["h64"]
-        it = engine._fetch_index["tail"]
-        if len(ih) and suspect.num_rows:
-            h64, tail = _digests_to_h64_tail(
-                suspect.column("url_hash").to_pylist()
-            )
-            pos = np.searchsorted(ih, h64)
-            clip = np.minimum(pos, len(ih) - 1)
-            in_corpus = (
-                (pos < len(ih))
-                & (ih[clip] == h64)
-                & (it[clip] == tail).all(axis=1)
-            )
-        else:
-            in_corpus = np.zeros(suspect.num_rows, dtype=bool)
+        in_corpus, _ = index_lookup(
+            engine._fetch_index, suspect.column("url_hash").to_pylist()
+        )
         specs = [
             {
                 "url": u,

@@ -45,8 +45,16 @@ _SIDECAR_VERSION = "v1"  # bump when sidecar derivation changes
 
 
 def _sidecar_dir(sf_dir: str, pages_per_doc: int, num_seeds: int) -> str:
+    # key on the INPUT CONTENT (documents.parquet size+mtime), not just
+    # the path: regenerated testdata must not reuse a stale sidecar
+    docs = f"{os.path.realpath(sf_dir)}/documents.parquet"
+    try:
+        st = os.stat(docs)
+        stamp = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        stamp = "absent"
     key = hashlib.sha1(
-        f"{os.path.realpath(sf_dir)}|ppd={pages_per_doc}"
+        f"{docs}|{stamp}|ppd={pages_per_doc}"
         f"|seeds={num_seeds}|{_SIDECAR_VERSION}".encode()
     ).hexdigest()[:16]
     return f"/tmp/raycrawl_oracle_{key}"
@@ -93,8 +101,13 @@ def ensure_oracle_sidecars(
 
     os.makedirs(d, exist_ok=True)
 
+    # Concurrent writers are harmless — derivation is deterministic, so
+    # replaced files are byte-identical — but each writer must stage
+    # under its OWN tmp name: a shared tmp path would let writer B's
+    # O_TRUNC land mid-way through writer A's write and A's os.replace
+    # then install the interleaved file under the _OK marker.
     def _write(name: str, table: pa.Table) -> None:
-        tmp = os.path.join(d, f".{name}.tmp")
+        tmp = os.path.join(d, f".{name}.{os.getpid()}.tmp")
         pq.write_table(table, tmp)
         os.replace(tmp, os.path.join(d, name))
 
@@ -133,8 +146,10 @@ def ensure_oracle_sidecars(
             }
         ),
     )
-    with open(marker, "w") as f:
+    tmp_marker = f"{marker}.{os.getpid()}.tmp"
+    with open(tmp_marker, "w") as f:
         f.write(_SIDECAR_VERSION)
+    os.replace(tmp_marker, marker)
     return d
 
 
@@ -237,7 +252,9 @@ def run_crawl(
 
 @query("crawl_reachability", flagship_oracle_sql(DRIVER_ORACLE_SF))
 def crawl_reachability(sf_dir: str):
-    ensure_oracle_sidecars(sf_dir)
+    # sidecar materialization is the ORACLE's concern (oracle_sql() /
+    # the test fixture call ensure_oracle_sidecars); doing it here
+    # would bill a full corpus+link derivation to the timed query
     _, table = run_crawl(sf_dir)
     out = table.select(["urn", "url", "depth", "n_links", "lang"])
     return out.take(pc.sort_indices(out, sort_keys=[("url", "ascending")]))
@@ -261,8 +278,6 @@ def recrawl_incremental(sf_dir: str, k: int = 5):
 
     from ..stages.extract import extract_text
     from .crawl import recrawl
-
-    ensure_oracle_sidecars(sf_dir)
 
     docs = pq.read_table(
         f"{sf_dir}/documents.parquet",

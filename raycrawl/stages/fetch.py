@@ -102,6 +102,29 @@ def prepare_corpus(corpus: pa.Table) -> pa.Table:
     return corpus.combine_chunks()
 
 
+def index_lookup(
+    index: dict[str, np.ndarray], digests
+) -> tuple[np.ndarray, np.ndarray]:
+    """Membership probe of url-hash digests against a prepared corpus
+    index (h64/tail/row arrays): -> (found_mask, corpus_row_indexes).
+    THE single definition of "is this url in the corpus" — the fetch
+    path (TableFetcher.lookup) and crash recovery's suspect-doc
+    classification (resume_crawl) must never diverge on it."""
+    h64_arr, tail_arr, row = index["h64"], index["tail"], index["row"]
+    n = len(digests)
+    if not n or not len(h64_arr):
+        return np.zeros(n, dtype=bool), np.zeros(n, dtype=np.int64)
+    h64, tail = _digests_to_h64_tail(digests)
+    pos = np.searchsorted(h64_arr, h64)
+    clip = np.minimum(pos, len(h64_arr) - 1)
+    found = (
+        (pos < len(h64_arr))
+        & (h64_arr[clip] == h64)
+        & (tail_arr[clip] == tail).all(axis=1)
+    )
+    return found, row[clip]
+
+
 class TableFetcher:
     """Corpus-backed simulated network: url_hash → page row."""
 
@@ -121,23 +144,11 @@ class TableFetcher:
         self._html = corpus.column("html").chunk(0)
         self._lang = self._corpus.column("lang").chunk(0)
         self._ts = self._corpus.column("warc_ts").chunk(0)
-        self._h64 = index["h64"]
-        self._tail = index["tail"]
-        self._row = index["row"]
+        self._index = index
 
     def lookup(self, digests: list[bytes]):
         """-> (found_mask, corpus_row_indexes) for a batch of url hashes."""
-        if not digests:
-            return np.zeros(0, dtype=bool), np.zeros(0, dtype=np.int64)
-        h64, tail = _digests_to_h64_tail(digests)
-        pos = np.searchsorted(self._h64, h64)
-        pos_clip = np.minimum(pos, len(self._h64) - 1)
-        found = (
-            (pos < len(self._h64))
-            & (self._h64[pos_clip] == h64)
-            & (self._tail[pos_clip] == tail).all(axis=1)
-        )
-        return found, self._row[pos_clip]
+        return index_lookup(self._index, digests)
 
     def body(self, idx: int) -> bytes:
         return self._html[idx].as_py()
