@@ -54,8 +54,12 @@ def measure(workers: int, corpus, num_shards: int, reserve: int) -> dict:
     from raycrawl.pipelines.crawl import CrawlConfig, CrawlEngine
 
     # RAYCRAWL_DISPATCHERS=N measures the tiered mode (NodeDispatcher
-    # leases): driver cost per work unit should drop by ~group size
+    # leases): driver cost per work unit should drop by ~group size.
+    # RAYCRAWL_CHUNK measures scale path #1 (chunk size scales with the
+    # pool): driver cost is per-chunk, so 4x chunks should raise the
+    # ceiling ~4x at identical per-URL cost.
     dispatchers = int(os.environ.get("RAYCRAWL_DISPATCHERS", "0"))
+    chunk = int(os.environ.get("RAYCRAWL_CHUNK", "4096"))
     seeds = seeds_for_corpus(corpus, max(64, corpus.num_rows // 50))
     state = tempfile.mkdtemp(prefix=f"raycrawl_ceiling_w{workers}_")
     cfg = CrawlConfig(
@@ -65,7 +69,7 @@ def measure(workers: int, corpus, num_shards: int, reserve: int) -> dict:
         num_shards=num_shards,
         epoch_budget=max(100_000, corpus.num_rows),
         fetch_concurrency=workers,
-        fetch_batch_size=4096,
+        fetch_batch_size=chunk,
         reserve_cores=reserve,
         seen_filter="bloom",
         seen_capacity=max(1_000_000, corpus.num_rows * 4 // num_shards),
@@ -96,6 +100,7 @@ def measure(workers: int, corpus, num_shards: int, reserve: int) -> dict:
     return {
         "workers": workers,
         "node_dispatchers": dispatchers,
+        "chunk_size": chunk,
         "wall_sec": round(wall, 3),
         "urls": result.docs_written + result.deadlettered,
         "chunks": chunks,
