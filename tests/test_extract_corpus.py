@@ -123,3 +123,70 @@ def test_seeds():
     seeds = default_seeds(2)
     assert seeds[0]["url"] == page_url(0, 0)
     assert all(s["queue"] == "normal" for s in seeds)
+
+
+def test_index_lookup_shared_probe_and_empty_guard():
+    """index_lookup is the single corpus-membership definition shared by
+    the fetch path and crash recovery; probe hits, misses, and the
+    empty-index / empty-batch guards (an empty corpus used to clip the
+    searchsorted position to -1)."""
+    import pyarrow as pa
+
+    from raycrawl.functions.urlnorm import canonicalize_batch
+    from raycrawl.stages.fetch import build_fetch_index, index_lookup
+
+    urls = [page_url(h, p) for h in range(3) for p in range(4)]
+    corpus = pa.table({"url": pa.array(urls)})
+    index = build_fetch_index(corpus)
+
+    _, digests, _ = canonicalize_batch([urls[5], "http://nope.example.com/x", urls[0]])
+    found, rows = index_lookup(index, digests)
+    assert found.tolist() == [True, False, True]
+    assert urls[rows[0]] == urls[5] and urls[rows[2]] == urls[0]
+
+    # empty batch
+    found, rows = index_lookup(index, [])
+    assert len(found) == 0 and len(rows) == 0
+
+    # empty index (h64 length 0) must not clip to -1
+    empty = {k: v[:0] for k, v in index.items()}
+    found, rows = index_lookup(empty, digests)
+    assert not found.any() and len(found) == 3
+
+
+def test_oracle_sidecars_survive_concurrent_cold_writers(tmp_path):
+    """ensure_oracle_sidecars must tolerate N processes racing a cold
+    cache: per-writer tmp names + atomic replace mean the _OK marker
+    can never pin an interleaved parquet. All writers converge on the
+    same byte-identical sidecar tables."""
+    import multiprocessing
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from raycrawl.pipelines.flagship import _sidecar_dir
+
+    sf = "/root/testdata/sf0.001"
+    d = _sidecar_dir(sf, 2, 4)
+    shutil.rmtree(d, ignore_errors=True)  # force the cold path
+    try:
+        with multiprocessing.get_context("spawn").Pool(4) as pool:
+            dirs = pool.map(_sidecar_worker, [sf] * 4)
+        assert set(dirs) == {d}
+        pages = pq.read_table(f"{d}/pages.parquet")
+        links = pq.read_table(f"{d}/links.parquet")
+        seeds = pq.read_table(f"{d}/seeds.parquet")
+        assert pages.num_rows > 0 and links.num_rows > 0
+        assert seeds.num_rows == 4
+        # every edge endpoint is a known page url
+        known = set(pages.column("url").to_pylist())
+        assert set(links.column("src_url").to_pylist()) <= known
+        assert set(links.column("dst_url").to_pylist()) <= known
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _sidecar_worker(sf: str) -> str:
+    from raycrawl.pipelines.flagship import ensure_oracle_sidecars
+
+    return ensure_oracle_sidecars(sf)
