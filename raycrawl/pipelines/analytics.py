@@ -33,6 +33,16 @@ def query(name: str, sql: str | None = None):
     return deco
 
 
+def _nblocks(sf_dir: str, table: str) -> int:
+    """Size-aware block count shared by _read and the hash-partitioned
+    aggregates (partition count should track the data like the read
+    fan-out does)."""
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    return max(16, int(os.path.getsize(path)) // (64 << 20))
+
+
 def _read(sf_dir: str, table: str, columns=None):
     """Pruned parquet read with size-aware block count: Ray's default
     minimum parallelism splits even a 10 MB table into 64 blocks, and
@@ -40,14 +50,12 @@ def _read(sf_dir: str, table: str, columns=None):
     (TPC-H Q1 warm: 1.21 s at 64 blocks -> 0.54 s at 16). One block
     per ~64 MB with a floor of 16 (so actor-pool stages still fan out)
     keeps the same fan-out curve at 100 TB."""
-    import os
-
     import ray.data
 
-    path = f"{sf_dir}/{table}.parquet"
-    nblocks = max(16, int(os.path.getsize(path)) // (64 << 20))
     return ray.data.read_parquet(
-        path, columns=columns, override_num_blocks=nblocks
+        f"{sf_dir}/{table}.parquet",
+        columns=columns,
+        override_num_blocks=_nblocks(sf_dir, table),
     )
 
 
@@ -370,24 +378,56 @@ def anti_join_unseen(sf_dir: str):
 )
 def metrics_rollup(sf_dir: str):
     """A5 per-second op counters rolled up (redis-metrics analogue,
-    lib/crawlerFactory.js:264-277). NOTE: a per-batch partial-count
-    combiner was tried and measured 3-4x SLOWER here — the events
-    table has ~2.6 rows per (type, minute) group, so partials cannot
-    shrink the shuffle and only add per-batch group_by cost; the plain
-    distributed aggregate is the right shape at this group density."""
-    from ray.data.aggregate import Count
+    lib/crawlerFactory.js:264-277).
 
-    def add_minute(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "minute", pc.floor_temporal(t["ts"], unit="minute")
+    Shape: hash-partition on the group key, then ONE vectorized Arrow
+    ``Table.group_by`` per partition (the minhash coarse-partition
+    pattern). Ray's built-in ``aggregate(Count)`` walks group
+    boundaries in Python inside AggregateMap/Reduce — measured
+    ~120 us/row on this multi-key group (1.4 s at sf0.1 vs 0.77 s for
+    this shape, identical 80k-group output). A per-batch partial-count
+    combiner was also tried and measured 3-4x slower still: at ~1 row
+    per (type, minute) group partials cannot shrink the shuffle.
+    Partition count tracks the read fan-out (_nblocks), so the shape
+    is unchanged at 100 TB: the shuffle carries only (key, minute)
+    pairs and every partition aggregates vectorized."""
+    import zlib
+
+    P = _nblocks(sf_dir, "events")
+
+    def add_part(t: pa.Table) -> pa.Table:
+        minute = pc.floor_temporal(t["ts"], unit="minute")
+        d = t["event_type"].combine_chunks().dictionary_encode()
+        uh = np.array(
+            [zlib.crc32(u.encode()) for u in d.dictionary.to_pylist()],
+            dtype=np.int64,
+        )  # Python only over the batch's few DISTINCT event types
+        part = (
+            uh[d.indices.to_numpy()] * np.int64(1000003)
+            + minute.cast(pa.int64()).to_numpy()
+        ) % P
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "minute": minute,
+                "part": pa.array(part, pa.int64()),
+            }
         )
 
-    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    def agg(g: pa.Table) -> pa.Table:
+        out = g.group_by(["event_type", "minute"]).aggregate(
+            [([], "count_all")]
+        )
+        return out.rename_columns(
+            ["n" if c == "count_all" else c for c in out.column_names]
+        ).select(["event_type", "minute", "n"])
+
     return (
-        ds.map_batches(add_minute, batch_format="pyarrow")
-        .select_columns(["event_type", "minute"])
-        .groupby(["event_type", "minute"])
-        .aggregate(Count(alias_name="n"))
+        _read(sf_dir, "events", ["event_type", "ts"])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(agg, batch_format="pyarrow")
+        .select_columns(["event_type", "minute", "n"])
     )
 
 
@@ -399,24 +439,40 @@ def metrics_rollup(sf_dir: str):
 def rate_limit_violations(sf_dir: str):
     """T4 fixed-window rate limiter: windows where a key exceeds its
     budget (inmemoryRateLimiter.js:17-36 `over = count > limit`).
-    Plain distributed aggregate — see the metrics_rollup note on why a
-    partial-count combiner loses at this group density."""
-    from ray.data.aggregate import Count
+    Same hash-partitioned vectorized-group_by shape as metrics_rollup
+    (see its note on why both Ray's Count and a partial combiner lose
+    at this group density); the integer key needs no string hash."""
+    P = _nblocks(sf_dir, "events")
 
-    def add_minute(t: pa.Table) -> pa.Table:
-        return t.append_column(
-            "minute", pc.floor_temporal(t["ts"], unit="minute")
+    def add_part(t: pa.Table) -> pa.Table:
+        minute = pc.floor_temporal(t["ts"], unit="minute")
+        part = (
+            t["user_id"].to_numpy() * np.int64(1000003)
+            + minute.cast(pa.int64()).to_numpy()
+        ) % P
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "minute": minute,
+                "part": pa.array(part, pa.int64()),
+            }
         )
 
-    ds = _read(sf_dir, "events", ["user_id", "ts"])
-    grouped = (
-        ds.map_batches(add_minute, batch_format="pyarrow")
-        .select_columns(["user_id", "minute"])
-        .groupby(["user_id", "minute"])
-        .aggregate(Count(alias_name="n"))
-    )
-    return grouped.map_batches(
-        lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
+    def agg(g: pa.Table) -> pa.Table:
+        out = g.group_by(["user_id", "minute"]).aggregate(
+            [([], "count_all")]
+        )
+        out = out.rename_columns(
+            ["n" if c == "count_all" else c for c in out.column_names]
+        ).select(["user_id", "minute", "n"])
+        return out.filter(pc.greater(out["n"], 1))
+
+    return (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(agg, batch_format="pyarrow")
+        .select_columns(["user_id", "minute", "n"])
     )
 
 
