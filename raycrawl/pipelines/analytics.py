@@ -610,13 +610,37 @@ def tpch_q1_pricing(sf_dir: str):
 )
 def top_sources(sf_dir: str):
     """A1/skew stats: hot-host histogram (the url_host skew the fetch
-    partitioner must contain, SURVEY §4)."""
-    from ray.data.aggregate import Count
+    partitioner must contain, SURVEY §4). Classic combiner shape:
+    hosts repeat heavily within a batch (zipf), so a per-batch Arrow
+    group_by shrinks the shuffle to (source, partial n) rows; the
+    per-partition final sum is vectorized too."""
+    import zlib
 
-    ds = _read(sf_dir, "documents", ["source"])
+    P = _nblocks(sf_dir, "documents")
+
+    def partial(t: pa.Table) -> pa.Table:
+        out = t.select(["source"]).group_by("source").aggregate(
+            [([], "count_all")]
+        )
+        part = np.array(
+            [zlib.crc32(s.encode()) % P for s in
+             out.column("source").to_pylist()],
+            dtype=np.int64,
+        )  # Python only over the batch's DISTINCT sources
+        return out.append_column("part", pa.array(part, pa.int64()))
+
+    def total(g: pa.Table) -> pa.Table:
+        out = g.group_by("source").aggregate([("count_all", "sum")])
+        return out.rename_columns(
+            ["n" if c == "count_all_sum" else c for c in out.column_names]
+        ).select(["source", "n"])
+
     return (
-        ds.groupby("source")
-        .aggregate(Count(alias_name="n"))
+        _read(sf_dir, "documents", ["source"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(total, batch_format="pyarrow")
+        .select_columns(["source", "n"])
         .sort(["n", "source"], descending=[True, False])
         .limit(10)
     )

@@ -265,24 +265,49 @@ def doc_fingerprints(sf_dir: str):
     "FROM documents GROUP BY 1",
 )
 def text_exact_dedup(sf_dir: str):
-    """Exact dedup: content-hash per batch (vectorized md5), then
-    hash-partitioned keep-first (ray_guide 'exact dedup' pattern)."""
-    from ray.data.aggregate import Min
+    """Exact dedup: content-hash per batch (md5 digest kernel), then
+    hash-partitioned keep-first (ray_guide 'exact dedup' pattern). The
+    keep-first is a vectorized pyarrow group_by min per partition —
+    text_hash is ~unique per doc, the worst case for Ray's built-in
+    Min (Python per group boundary, see metrics_rollup); the partition
+    key comes free from the first 8 digest bytes."""
+    from .analytics import _nblocks
+
+    P = _nblocks(sf_dir, "documents")
 
     def add_hash(t: pa.Table) -> pa.Table:
-        hashes = [
-            hashlib.md5(x.encode("utf-8")).hexdigest()
+        digests = [
+            hashlib.md5(x.encode("utf-8")).digest()
             for x in t.column("text").to_pylist()
         ]
+        part = (
+            np.frombuffer(b"".join(digests), dtype=np.uint8)
+            .reshape(-1, 16)[:, :8]
+            .copy()
+            .view("<u8")
+            .reshape(-1)
+            % np.uint64(P)
+        ).astype(np.int64)
         return pa.table(
-            {"text_hash": pa.array(hashes), "doc_id": t["doc_id"]}
+            {
+                "text_hash": pa.array([d.hex() for d in digests]),
+                "doc_id": t["doc_id"],
+                "part": pa.array(part, pa.int64()),
+            }
         )
+
+    def keep_first(g: pa.Table) -> pa.Table:
+        out = g.group_by("text_hash").aggregate([("doc_id", "min")])
+        return out.rename_columns(
+            ["doc_id" if c == "doc_id_min" else c for c in out.column_names]
+        ).select(["text_hash", "doc_id"])
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return (
         ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("text_hash")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .groupby("part")
+        .map_groups(keep_first, batch_format="pyarrow")
+        .select_columns(["text_hash", "doc_id"])
     )
 
 
