@@ -614,19 +614,15 @@ def top_sources(sf_dir: str):
     hosts repeat heavily within a batch (zipf), so a per-batch Arrow
     group_by shrinks the shuffle to (source, partial n) rows; the
     per-partition final sum is vectorized too."""
-    import zlib
-
     P = _nblocks(sf_dir, "documents")
 
     def partial(t: pa.Table) -> pa.Table:
         out = t.select(["source"]).group_by("source").aggregate(
             [([], "count_all")]
         )
-        part = np.array(
-            [zlib.crc32(s.encode()) % P for s in
-             out.column("source").to_pylist()],
-            dtype=np.int64,
-        )  # Python only over the batch's DISTINCT sources
+        part = _part_of_str(
+            np.asarray(out.column("source").to_pylist(), dtype=object), P
+        )  # the partial rows are already one per DISTINCT source
         return out.append_column("part", pa.array(part, pa.int64()))
 
     def total(g: pa.Table) -> pa.Table:
