@@ -658,87 +658,84 @@ def ngram_jaccard_topk(sf_dir: str, k: int = 3, sample: int = 32):
         )
     bcast = ray.put((probe_ids, probe_sizes, vocab, masks))
 
-    class Score:
-        def __init__(self):
-            ids, self.sizes, self.vocab, self.masks = ray.get(bcast)
-            self.ids = np.asarray(ids, dtype=np.int64)
-            self.k = k
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            n_probes = len(self.ids)
-            doc_ids = t.column("doc_id").to_numpy()
-            codes_list = [
-                char_trigram_codes(x)
-                for x in t.column("text").to_pylist()
-            ]
-            lens = np.array([len(c) for c in codes_list], dtype=np.int64)
-            n_docs = len(doc_ids)
-            inter = np.zeros((n_docs, n_probes), dtype=np.int64)
-            nonzero = np.flatnonzero(lens)
-            if nonzero.size:
-                allcodes = np.concatenate(
-                    [codes_list[i] for i in nonzero]
-                )
-                pos = np.searchsorted(self.vocab, allcodes)
-                pos_c = np.minimum(pos, len(self.vocab) - 1)
-                n_words = self.masks.shape[1]
-                hit = np.where(
-                    (self.vocab[pos_c] == allcodes)[:, None],
-                    self.masks[pos_c],
-                    np.uint64(0),
-                )
-                # little-endian bytes of word w occupy columns
-                # [w*64, (w+1)*64) after unpackbits -> column p IS
-                # probe p for every mask width
-                bits = np.unpackbits(
-                    hit.view(np.uint8).reshape(-1, 8 * n_words),
-                    axis=1,
-                    bitorder="little",
-                )[:, :n_probes]
-                nz_lens = lens[nonzero]
-                offsets = np.zeros(len(nonzero), dtype=np.int64)
-                np.cumsum(nz_lens[:-1], out=offsets[1:])
-                inter[nonzero] = np.add.reduceat(bits, offsets, axis=0)
-            union = (
-                lens[:, None] + self.sizes[None, :] - inter
-            ).astype(np.float64)
-            both_empty = (lens[:, None] + self.sizes[None, :]) == 0
-            union[union == 0] = 1.0
-            jac = inter / union
-            jac[both_empty] = 1.0
-            keep = doc_ids[:, None] != self.ids[None, :]  # exclude self
-            # per-batch partial top-k (round-3 verdict item 3; the
-            # knn_cosine merge_topk pattern): (jaccard DESC, doc_id
-            # ASC) is a total order, so every global top-k row is in
-            # its own batch's per-probe top-k — the shuffle into
-            # groupby(query_id) carries blocks x probes x k rows
-            # instead of n_docs x probes (3.2e11 rows at 1e10 docs).
-            qi_out, di_out, jc_out = [], [], []
-            for p in range(n_probes):
-                idx = np.flatnonzero(keep[:, p])
-                if not idx.size:
-                    continue
-                order = np.lexsort((doc_ids[idx], -jac[idx, p]))[: self.k]
-                sel = idx[order]
-                qi_out.append(np.full(len(sel), p, dtype=np.int64))
-                di_out.append(doc_ids[sel])
-                jc_out.append(jac[sel, p])
-            if not qi_out:
-                return pa.table(
-                    {
-                        "query_id": pa.array([], pa.int64()),
-                        "doc_id": pa.array([], pa.int64()),
-                        "jaccard": pa.array([], pa.float64()),
-                    }
-                )
-            pi = np.concatenate(qi_out)
+    def score(t: pa.Table) -> pa.Table:
+        # task pool (see knn_cosine): setup is one zero-copy plasma get
+        b_ids, sizes, vocab, masks = ray.get(bcast)
+        b_ids = np.asarray(b_ids, dtype=np.int64)
+        n_probes = len(b_ids)
+        doc_ids = t.column("doc_id").to_numpy()
+        codes_list = [
+            char_trigram_codes(x)
+            for x in t.column("text").to_pylist()
+        ]
+        lens = np.array([len(c) for c in codes_list], dtype=np.int64)
+        n_docs = len(doc_ids)
+        inter = np.zeros((n_docs, n_probes), dtype=np.int64)
+        nonzero = np.flatnonzero(lens)
+        if nonzero.size:
+            allcodes = np.concatenate(
+                [codes_list[i] for i in nonzero]
+            )
+            pos = np.searchsorted(vocab, allcodes)
+            pos_c = np.minimum(pos, len(vocab) - 1)
+            n_words = masks.shape[1]
+            hit = np.where(
+                (vocab[pos_c] == allcodes)[:, None],
+                masks[pos_c],
+                np.uint64(0),
+            )
+            # little-endian bytes of word w occupy columns
+            # [w*64, (w+1)*64) after unpackbits -> column p IS
+            # probe p for every mask width
+            bits = np.unpackbits(
+                hit.view(np.uint8).reshape(-1, 8 * n_words),
+                axis=1,
+                bitorder="little",
+            )[:, :n_probes]
+            nz_lens = lens[nonzero]
+            offsets = np.zeros(len(nonzero), dtype=np.int64)
+            np.cumsum(nz_lens[:-1], out=offsets[1:])
+            inter[nonzero] = np.add.reduceat(bits, offsets, axis=0)
+        union = (
+            lens[:, None] + sizes[None, :] - inter
+        ).astype(np.float64)
+        both_empty = (lens[:, None] + sizes[None, :]) == 0
+        union[union == 0] = 1.0
+        jac = inter / union
+        jac[both_empty] = 1.0
+        keep = doc_ids[:, None] != b_ids[None, :]  # exclude self
+        # per-batch partial top-k (round-3 verdict item 3; the
+        # knn_cosine merge_topk pattern): (jaccard DESC, doc_id
+        # ASC) is a total order, so every global top-k row is in
+        # its own batch's per-probe top-k — the shuffle into
+        # groupby(query_id) carries blocks x probes x k rows
+        # instead of n_docs x probes (3.2e11 rows at 1e10 docs).
+        qi_out, di_out, jc_out = [], [], []
+        for p in range(n_probes):
+            idx = np.flatnonzero(keep[:, p])
+            if not idx.size:
+                continue
+            order = np.lexsort((doc_ids[idx], -jac[idx, p]))[:k]
+            sel = idx[order]
+            qi_out.append(np.full(len(sel), p, dtype=np.int64))
+            di_out.append(doc_ids[sel])
+            jc_out.append(jac[sel, p])
+        if not qi_out:
             return pa.table(
                 {
-                    "query_id": pa.array(self.ids[pi], pa.int64()),
-                    "doc_id": pa.array(np.concatenate(di_out), pa.int64()),
-                    "jaccard": pa.array(np.concatenate(jc_out), pa.float64()),
+                    "query_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
                 }
             )
+        pi = np.concatenate(qi_out)
+        return pa.table(
+            {
+                "query_id": pa.array(b_ids[pi], pa.int64()),
+                "doc_id": pa.array(np.concatenate(di_out), pa.int64()),
+                "jaccard": pa.array(np.concatenate(jc_out), pa.float64()),
+            }
+        )
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["jaccard", "doc_id"], ascending=[False, True]).head(k)
@@ -747,7 +744,7 @@ def ngram_jaccard_topk(sf_dir: str, k: int = 3, sample: int = 32):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return (
-        ds.map_batches(Score, batch_format="pyarrow", concurrency=_pool_size())
+        ds.map_batches(score, batch_format="pyarrow")
         .groupby("query_id")
         .map_groups(topk, batch_format="pandas")
     )
@@ -778,7 +775,10 @@ _KNN_K = 10
 def knn_cosine(sf_dir: str):
     """Brute-force cosine top-k: broadcast query matrix, per-batch
     float64 matmul partials, tiny driver-side merge (SURVEY 'similarity
-    search' baseline)."""
+    search' baseline). TASK pool, not actors: the per-task "setup" is
+    one zero-copy plasma get of the broadcast tuple, and the actor-pool
+    spin-up alone cost 8x the whole query at bench scale (1.61 s pool
+    vs 0.19 s tasks, identical output)."""
     import ray
 
     head = pq.read_table(
@@ -790,28 +790,23 @@ def knn_cosine(sf_dir: str):
     q_vecs = as_matrix(qt.column("embedding"))
     q_ref = ray.put((q_ids, q_vecs))
 
-    class Partial:
-        def __init__(self):
-            self.q_ids, self.q_vecs = ray.get(q_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t.column("vec_id").to_numpy()
-            vecs = as_matrix(t.column("embedding"))
-            qi, nid, sc = cosine_topk_partial(
-                ids, vecs, self.q_vecs, _KNN_K, exclude_ids=self.q_ids
-            )
-            return pa.table(
-                {
-                    "q_idx": pa.array(qi, pa.int64()),
-                    "neighbor_id": pa.array(nid, pa.int64()),
-                    "score": pa.array(sc, pa.float64()),
-                }
-            )
+    def partial(t: pa.Table) -> pa.Table:
+        b_qids, b_qvecs = ray.get(q_ref)
+        ids = t.column("vec_id").to_numpy()
+        vecs = as_matrix(t.column("embedding"))
+        qi, nid, sc = cosine_topk_partial(
+            ids, vecs, b_qvecs, _KNN_K, exclude_ids=b_qids
+        )
+        return pa.table(
+            {
+                "q_idx": pa.array(qi, pa.int64()),
+                "neighbor_id": pa.array(nid, pa.int64()),
+                "score": pa.array(sc, pa.float64()),
+            }
+        )
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    parts = ds.map_batches(
-        Partial, batch_format="pyarrow", concurrency=_pool_size()
-    ).to_pandas()
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     qi, nid, rank = merge_topk(
         parts["q_idx"].to_numpy(),
         parts["neighbor_id"].to_numpy(),
@@ -1012,49 +1007,44 @@ def knn_lsh(sf_dir: str):
     ]
     q_ref = ray.put((q_ids, q_vecs, probe_sets))
 
-    class Partial:
-        def __init__(self):
-            self.q_ids, self.q_vecs, self.probes = ray.get(q_ref)
-            self.index = LshIndex(dim, num_planes=8, seed=11, num_tables=16)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t.column("vec_id").to_numpy()
-            vecs = as_matrix(t.column("embedding"))
-            codes = self.index.codes(vecs)
-            qi_all, nid_all, sc_all = [], [], []
-            for qi, probe in enumerate(self.probes):
-                m = self.index.candidate_mask(codes, probe) & (
-                    ids != self.q_ids[qi]
-                )
-                if not m.any():
-                    continue
-                sub_ids, sub = ids[m], vecs[m]
-                a, b, c = cosine_topk_partial(
-                    sub_ids, sub, self.q_vecs[qi : qi + 1], _KNN_K
-                )
-                qi_all.append(np.full(len(b), qi, dtype=np.int64))
-                nid_all.append(b)
-                sc_all.append(c)
-            if not qi_all:
-                return pa.table(
-                    {
-                        "q_idx": pa.array([], pa.int64()),
-                        "neighbor_id": pa.array([], pa.int64()),
-                        "score": pa.array([], pa.float64()),
-                    }
-                )
+    def partial(t: pa.Table) -> pa.Table:
+        # task pool (see knn_cosine): per-task setup is a zero-copy
+        # plasma get + a ~50 us seeded plane rebuild
+        b_qids, b_qvecs, probes = ray.get(q_ref)
+        b_index = LshIndex(dim, num_planes=8, seed=11, num_tables=16)
+        ids = t.column("vec_id").to_numpy()
+        vecs = as_matrix(t.column("embedding"))
+        codes = b_index.codes(vecs)
+        qi_all, nid_all, sc_all = [], [], []
+        for qi, probe in enumerate(probes):
+            m = b_index.candidate_mask(codes, probe) & (ids != b_qids[qi])
+            if not m.any():
+                continue
+            sub_ids, sub = ids[m], vecs[m]
+            a, b, c = cosine_topk_partial(
+                sub_ids, sub, b_qvecs[qi : qi + 1], _KNN_K
+            )
+            qi_all.append(np.full(len(b), qi, dtype=np.int64))
+            nid_all.append(b)
+            sc_all.append(c)
+        if not qi_all:
             return pa.table(
                 {
-                    "q_idx": pa.array(np.concatenate(qi_all), pa.int64()),
-                    "neighbor_id": pa.array(np.concatenate(nid_all), pa.int64()),
-                    "score": pa.array(np.concatenate(sc_all), pa.float64()),
+                    "q_idx": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
                 }
             )
+        return pa.table(
+            {
+                "q_idx": pa.array(np.concatenate(qi_all), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(nid_all), pa.int64()),
+                "score": pa.array(np.concatenate(sc_all), pa.float64()),
+            }
+        )
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    parts = ds.map_batches(
-        Partial, batch_format="pyarrow", concurrency=_pool_size()
-    ).to_pandas()
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     qi, nid, rank = merge_topk(
         parts["q_idx"].to_numpy(),
         parts["neighbor_id"].to_numpy(),
@@ -1100,48 +1090,46 @@ def knn_ivf(sf_dir: str):
     ]
     q_ref = ray.put((q_ids, q_vecs, probes, index.centroids))
 
-    class Partial:
-        def __init__(self):
-            self.q_ids, self.q_vecs, self.probes, cents = ray.get(q_ref)
-            self.index = IvfIndex.__new__(IvfIndex)
-            self.index.centroids = cents
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t.column("vec_id").to_numpy()
-            vecs = as_matrix(t.column("embedding"))
-            assign = self.index.assign(vecs)
-            qi_all, nid_all, sc_all = [], [], []
-            for qi, probe in enumerate(self.probes):
-                m = np.isin(assign, list(probe)) & (ids != self.q_ids[qi])
-                if not m.any():
-                    continue
-                a, b, c = cosine_topk_partial(
-                    ids[m], vecs[m], self.q_vecs[qi : qi + 1], _KNN_K
-                )
-                qi_all.append(np.full(len(b), qi, dtype=np.int64))
-                nid_all.append(b)
-                sc_all.append(c)
-            if not qi_all:
-                return pa.table(
-                    {
-                        "q_idx": pa.array([], pa.int64()),
-                        "neighbor_id": pa.array([], pa.int64()),
-                        "score": pa.array([], pa.float64()),
-                    }
-                )
+    def partial(t: pa.Table) -> pa.Table:
+        # task pool (see knn_cosine): setup is one zero-copy plasma get
+        b_qids, b_qvecs, b_probes, cents = ray.get(q_ref)
+        b_index = IvfIndex.__new__(IvfIndex)
+        b_index.centroids = cents
+        ids = t.column("vec_id").to_numpy()
+        vecs = as_matrix(t.column("embedding"))
+        assign = b_index.assign(vecs)
+        qi_all, nid_all, sc_all = [], [], []
+        for qi, probe in enumerate(b_probes):
+            m = np.isin(assign, list(probe)) & (ids != b_qids[qi])
+            if not m.any():
+                continue
+            a, b, c = cosine_topk_partial(
+                ids[m], vecs[m], b_qvecs[qi : qi + 1], _KNN_K
+            )
+            qi_all.append(np.full(len(b), qi, dtype=np.int64))
+            nid_all.append(b)
+            sc_all.append(c)
+        if not qi_all:
             return pa.table(
                 {
-                    "q_idx": pa.array(np.concatenate(qi_all), pa.int64()),
-                    "neighbor_id": pa.array(
-                        np.concatenate(nid_all), pa.int64()
-                    ),
-                    "score": pa.array(np.concatenate(sc_all), pa.float64()),
+                    "q_idx": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
                 }
             )
+        return pa.table(
+            {
+                "q_idx": pa.array(np.concatenate(qi_all), pa.int64()),
+                "neighbor_id": pa.array(
+                    np.concatenate(nid_all), pa.int64()
+                ),
+                "score": pa.array(np.concatenate(sc_all), pa.float64()),
+            }
+        )
 
     parts = (
         _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-        .map_batches(Partial, batch_format="pyarrow", concurrency=_pool_size())
+        .map_batches(partial, batch_format="pyarrow")
         .to_pandas()
     )
     qi, nid, rank = merge_topk(
@@ -1500,31 +1488,31 @@ def label_counts(sf_dir: str):
 )
 def multimodal_payload_stats(sf_dir: str):
     """Opaque-binary-column plumbing: payloads flow as Arrow binary,
-    metadata (size, digest) extracted per batch in an actor-pool stage.
+    metadata (size, digest) extracted per batch in a task-pool stage
+    (stateless — see the knn_cosine note on why actors lose here).
     Real decoders for the uncompressed formats (BMP, the netpbm family
     incl. 1-bit-packed PBM, WAV) live in raycrawl.functions.codecs and
     feed the decode/feature stages in raycrawl.stages.multimodal; only
     the genuinely-absent compressed codecs (JPEG/PNG/MP3/...) remain
     gated behind NotImplementedError there."""
 
-    class PayloadStats:
-        def __call__(self, t: pa.Table) -> pa.Table:
-            payloads = [
-                x.encode("utf-8") for x in t.column("text").to_pylist()
-            ]
-            return pa.table(
-                {
-                    "doc_id": t["doc_id"],
-                    "n_bytes": pa.array(
-                        [len(b) for b in payloads], pa.int64()
-                    ),
-                    "digest": pa.array(
-                        [hashlib.sha256(b).hexdigest() for b in payloads],
-                        pa.string(),
-                    ),
-                }
-            )
+    def payload_stats(t: pa.Table) -> pa.Table:
+        payloads = [
+            x.encode("utf-8") for x in t.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bytes": pa.array(
+                    [len(b) for b in payloads], pa.int64()
+                ),
+                "digest": pa.array(
+                    [hashlib.sha256(b).hexdigest() for b in payloads],
+                    pa.string(),
+                ),
+            }
+        )
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        PayloadStats, batch_format="pyarrow", concurrency=_pool_size()
+        payload_stats, batch_format="pyarrow"
     )
