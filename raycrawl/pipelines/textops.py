@@ -56,6 +56,23 @@ def _pool_size(cap: int = 16) -> int:
     return max(2, min(cap, int(ray.cluster_resources().get("CPU", 4)) // 2))
 
 
+# Per-PROCESS digest caches for the task-pool sketch stages: Ray reuses
+# worker processes across tasks, so a module-level dict gives the same
+# vocabulary-converges amortization an actor attribute did, without the
+# pool spin-up (measured ~1.4 s, 8x these queries' compute at bench
+# scale). Bounded: cleared when they outgrow the cap so long-lived
+# workers running many queries cannot leak.
+_CACHE_CAP = 2_000_000
+_SHINGLE_CACHE: dict[str, int] = {}
+_WORD_CACHE: dict[str, int] = {}
+
+
+def _bounded(cache: dict) -> dict:
+    if len(cache) > _CACHE_CAP:
+        cache.clear()
+    return cache
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -152,20 +169,20 @@ def _stopword_in_list(lang: str) -> str:
     """,
 )
 def langid_heuristic(sf_dir: str):
-    """Language-ID via stopword-ratio heuristic (actor-pool stage: the
-    stopword tables load once per actor)."""
+    """Language-ID via stopword-ratio heuristic (task-pool stage: the
+    stopword tables are textstats module constants, loaded once per
+    worker PROCESS — an actor pool added only its spin-up cost)."""
 
-    class LangId:
-        def __call__(self, t: pa.Table) -> pa.Table:
-            from ..functions.textstats import langid_batch
+    def lang_id(t: pa.Table) -> pa.Table:
+        from ..functions.textstats import langid_batch
 
-            preds = langid_batch(t.column("text").to_pylist())
-            return pa.table(
-                {"doc_id": t["doc_id"], "lang_pred": pa.array(preds)}
-            )
+        preds = langid_batch(t.column("text").to_pylist())
+        return pa.table(
+            {"doc_id": t["doc_id"], "lang_pred": pa.array(preds)}
+        )
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        LangId, batch_format="pyarrow", concurrency=_pool_size()
+        lang_id, batch_format="pyarrow"
     )
 
 
@@ -395,35 +412,32 @@ def minhash_lsh_dupes(
     cluster, independent of bucket count."""
     import zlib
 
-    class Sign:
-        def __init__(self):
-            self.h = MinHasher(num_perms=128, seed=7)
-            # per-actor shingle-hash cache: phrase vocabulary converges,
-            # so md5 runs once per shingle the actor ever sees
-            self.shingle_cache: dict[str, int] = {}
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids, bands, sigs, prt = [], [], [], []
-            for doc_id, text in zip(
-                t.column("doc_id").to_pylist(), t.column("text").to_pylist()
-            ):
-                sig = self.h.signature(
-                    shingle_codes_md5(text, k=3, cache=self.shingle_cache)
-                )
-                for band_id, key in enumerate(self.h.band_keys(sig, 16)):
-                    full = band_id.to_bytes(2, "big") + key
-                    ids.append(doc_id)
-                    bands.append(full)
-                    sigs.append(sig.tobytes())
-                    prt.append(zlib.crc32(full) % parts)
-            return pa.table(
-                {
-                    "doc_id": pa.array(ids, pa.int64()),
-                    "band_key": pa.array(bands, pa.binary()),
-                    "sig": pa.array(sigs, pa.binary()),
-                    "part": pa.array(prt, pa.int64()),
-                }
-            )
+    def sign(t: pa.Table) -> pa.Table:
+        # task pool + per-PROCESS shingle-hash cache (_SHINGLE_CACHE):
+        # phrase vocabulary converges, so md5 runs once per shingle the
+        # worker process ever sees — same amortization the old actor
+        # attribute gave, minus the pool spin-up
+        h = MinHasher(num_perms=128, seed=7)
+        cache = _bounded(_SHINGLE_CACHE)
+        ids, bands, sigs, prt = [], [], [], []
+        for doc_id, text in zip(
+            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
+        ):
+            sig = h.signature(shingle_codes_md5(text, k=3, cache=cache))
+            for band_id, key in enumerate(h.band_keys(sig, 16)):
+                full = band_id.to_bytes(2, "big") + key
+                ids.append(doc_id)
+                bands.append(full)
+                sigs.append(sig.tobytes())
+                prt.append(zlib.crc32(full) % parts)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "band_key": pa.array(bands, pa.binary()),
+                "sig": pa.array(sigs, pa.binary()),
+                "part": pa.array(prt, pa.int64()),
+            }
+        )
 
     def pairs_part(g: pa.Table) -> pa.Table:
         """All pairs within each LSH bucket (= run of equal band_key in
@@ -510,7 +524,7 @@ def minhash_lsh_dupes(
         path, columns=["doc_id", "text"], override_num_blocks=nblocks
     )
     return (
-        ds.map_batches(Sign, batch_format="pyarrow", concurrency=pool)
+        ds.map_batches(sign, batch_format="pyarrow")
         .groupby("part", num_partitions=npartitions)
         .map_groups(pairs_part, batch_format="pyarrow")
     )
@@ -549,27 +563,24 @@ def minhash_lsh_dupes(
     """,
 )
 def simhash_fingerprints(sf_dir: str):
-    class Fp:
-        def __init__(self):
-            # per-actor word-hash cache (vocabulary converges)
-            self.word_cache: dict[str, int] = {}
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "doc_id": t["doc_id"],
-                    "simhash": pa.array(
-                        [
-                            simhash64(x, cache=self.word_cache)
-                            for x in t.column("text").to_pylist()
-                        ],
-                        pa.int64(),
-                    ),
-                }
-            )
+    def fp(t: pa.Table) -> pa.Table:
+        # task pool + per-PROCESS word-hash cache (vocabulary converges)
+        cache = _bounded(_WORD_CACHE)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "simhash": pa.array(
+                    [
+                        simhash64(x, cache=cache)
+                        for x in t.column("text").to_pylist()
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-        Fp, batch_format="pyarrow", concurrency=_pool_size()
+        fp, batch_format="pyarrow"
     )
 
 
