@@ -295,38 +295,36 @@ def etag_join(sf_dir: str):
         (keys[order], seg_dict.indices.to_numpy()[order], seg_labels)
     )
 
-    class JoinAgg:
-        def __init__(self):
-            self.keys, self.codes, self.labels = ray.get(lookup_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            probe = t.column("o_custkey").to_numpy()
-            idx = np.searchsorted(self.keys, probe)
-            idx_c = np.minimum(idx, len(self.keys) - 1)
-            hit = (idx < len(self.keys)) & (self.keys[idx_c] == probe)
-            codes = self.codes[idx_c[hit]]
-            cents = np.floor(
-                t.column("o_totalprice").to_numpy()[hit] * 100 + 0.5
-            ).astype(np.int64)
-            nseg = len(self.labels)
-            # float64 bincount is exact while a batch's per-segment sum
-            # stays < 2^53 cents (~9e13 dollars) — holds per batch; the
-            # cross-batch Sum below runs on int64.
-            rev = np.bincount(codes, weights=cents, minlength=nseg).astype(np.int64)
-            cnt = np.bincount(codes, minlength=nseg).astype(np.int64)
-            nz = cnt > 0
-            return pa.table(
-                {
-                    "c_mktsegment": pa.array(
-                        [self.labels[i] for i in np.flatnonzero(nz)]
-                    ),
-                    "revenue_cents": pa.array(rev[nz]),
-                    "n_orders": pa.array(cnt[nz]),
-                }
-            )
+    def join_agg(t: pa.Table) -> pa.Table:
+        # task pool: setup is one zero-copy plasma get (see knn_cosine)
+        keys, seg_codes, labels = ray.get(lookup_ref)
+        probe = t.column("o_custkey").to_numpy()
+        idx = np.searchsorted(keys, probe)
+        idx_c = np.minimum(idx, len(keys) - 1)
+        hit = (idx < len(keys)) & (keys[idx_c] == probe)
+        codes = seg_codes[idx_c[hit]]
+        cents = np.floor(
+            t.column("o_totalprice").to_numpy()[hit] * 100 + 0.5
+        ).astype(np.int64)
+        nseg = len(labels)
+        # float64 bincount is exact while a batch's per-segment sum
+        # stays < 2^53 cents (~9e13 dollars) — holds per batch; the
+        # cross-batch Sum below runs on int64.
+        rev = np.bincount(codes, weights=cents, minlength=nseg).astype(np.int64)
+        cnt = np.bincount(codes, minlength=nseg).astype(np.int64)
+        nz = cnt > 0
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(
+                    [labels[i] for i in np.flatnonzero(nz)]
+                ),
+                "revenue_cents": pa.array(rev[nz]),
+                "n_orders": pa.array(cnt[nz]),
+            }
+        )
 
     ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-    partials = ds.map_batches(JoinAgg, batch_format="pyarrow", concurrency=2)
+    partials = ds.map_batches(join_agg, batch_format="pyarrow")
     return partials.groupby("c_mktsegment").aggregate(
         Sum("revenue_cents", alias_name="revenue_cents"),
         Sum("n_orders", alias_name="n_orders"),
@@ -354,21 +352,19 @@ def anti_join_unseen(sf_dir: str):
     )
     seen_ref = ray.put(seen)
 
-    class AntiJoin:
-        def __init__(self):
-            self.seen = ray.get(seen_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t.column("c_custkey").to_numpy()
-            idx = np.searchsorted(self.seen, keys)
-            idx_c = np.minimum(idx, len(self.seen) - 1)
-            mask = ~((idx < len(self.seen)) & (self.seen[idx_c] == keys))
-            return t.filter(pa.array(mask))
+    def anti_join(t: pa.Table) -> pa.Table:
+        # task pool: setup is one zero-copy plasma get (see knn_cosine)
+        b_seen = ray.get(seen_ref)
+        keys = t.column("c_custkey").to_numpy()
+        idx = np.searchsorted(b_seen, keys)
+        idx_c = np.minimum(idx, len(b_seen) - 1)
+        mask = ~((idx < len(b_seen)) & (b_seen[idx_c] == keys))
+        return t.filter(pa.array(mask))
 
     ds = _read(sf_dir, "customer", ["c_custkey"])
-    return ds.map_batches(
-        AntiJoin, batch_format="pyarrow", concurrency=2
-    ).sort("c_custkey")
+    return ds.map_batches(anti_join, batch_format="pyarrow").sort(
+        "c_custkey"
+    )
 
 
 @query(
