@@ -102,6 +102,39 @@ def run_bench() -> dict:
     except (AttributeError, OSError):  # pragma: no cover (non-linux)
         pass
 
+    # Capacity probe (BEFORE ray.init — the probe forks): this VM's
+    # hypervisor intermittently withdraws ~25% of vcpu capacity
+    # (BASELINE.md "host-capacity collapse": ALU ceiling 0.75, and a
+    # 24-CPU crawl ran 2.7x FASTER than 32-CPU runs minutes apart).
+    # Keeping 32 vcpus busy on ~24 effective cores thrashes the
+    # RPC-latency-sensitive dispatch loop, so size the worker pool to
+    # DELIVERED cores, not nominal — the right-sizing a noisy-neighbor
+    # node in a real cluster wants. Gated at ceiling < 0.85: healthy
+    # windows measure 0.90+ (campaigns A, C, D) and keep the nominal
+    # sizing, which is faster there. NEVER applied in scaling mode
+    # (GRAFT_BENCH_CRAWL_ONLY): resizing one side of an N-vs-4N pair
+    # would falsify the scaling comparison.
+    eff_cpus = NUM_CPUS
+    probe = None
+    crawl_only_env = os.environ.get("GRAFT_BENCH_CRAWL_ONLY") == "1"
+    if (
+        NUM_CPUS >= 16
+        and not crawl_only_env
+        and os.environ.get("GRAFT_NO_CAPACITY_PROBE") != "1"
+    ):
+        small = max(4, NUM_CPUS // 4)
+        r_small = _alu_probe(small, dur=2.0)
+        r_full = _alu_probe(NUM_CPUS, dur=2.0)
+        ratio = r_full / r_small if r_small else 1.0
+        probe = {
+            "procs": [small, NUM_CPUS],
+            "ops_per_proc": [round(r_small), round(r_full)],
+            "ceiling": round(ratio, 3),
+        }
+        if ratio < 0.85:
+            eff_cpus = max(NUM_CPUS // 2, int(NUM_CPUS * ratio))
+            probe["effective_cpus"] = eff_cpus
+
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -120,9 +153,9 @@ def run_bench() -> dict:
     # for the frontier shards + driver (workers vacate them via
     # reserve_cores so frontier RPCs are never starved by compute),
     # one core of headroom, the rest are fetch workers.
-    num_shards = max(4, NUM_CPUS // 4)
-    reserve = max(1, NUM_CPUS // 8)
-    workers = max(2, NUM_CPUS - reserve - 1)
+    num_shards = max(4, eff_cpus // 4)
+    reserve = max(1, eff_cpus // 8)
+    workers = max(2, eff_cpus - reserve - 1)
 
     seeds = seeds_for_corpus(corpus, max(64, corpus.num_rows // 50))
 
@@ -303,6 +336,8 @@ def run_bench() -> dict:
         "urls_crawled": crawled,
         "urls_per_sec": round(crawled / wall, 1),
     }
+    if probe is not None:
+        out["capacity_probe"] = probe
     if polite is not None:
         out["polite"] = polite
     if spill is not None:
