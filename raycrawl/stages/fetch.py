@@ -391,9 +391,13 @@ class CrawlWorkerStage:
         because Ray Data's ActorPoolMapOperator tears its pool down at
         the end of every Dataset execution and the crawl is iterative —
         re-initializing corpus handles every epoch would dominate
-        wall-clock. Identical kernel to the map_batches path."""
+        wall-clock. Identical kernel to the map_batches path. Offers
+        are acked before the result returns (_ack_offers) so a worker
+        death can never orphan a completed batch's children."""
         self.set_epoch(epoch, now_us)
-        return self(batch)
+        result = self(batch)
+        self._ack_offers()
+        return result
 
     def process_range(
         self, table: pa.Table, off: int, size: int, epoch: int, now_us: int
@@ -403,11 +407,15 @@ class CrawlWorkerStage:
         driver-side per-chunk serialization of table slices was a
         measured scaling bottleneck; plasma reads here are zero-copy.
         Accepts either a bare table ref or a shard take_with_counts
-        response dict."""
+        response dict. Offers are acked before the result returns
+        (_ack_offers) so a worker death can never orphan a completed
+        range's children."""
         if isinstance(table, dict):
             table = table["table"]
         self.set_epoch(epoch, now_us)
-        return self(table.slice(off, size))
+        result = self(table.slice(off, size))
+        self._ack_offers()
+        return result
 
     # -- candidate routing -------------------------------------------------
 
@@ -485,6 +493,33 @@ class CrawlWorkerStage:
             else pa.concat_tables(tables).combine_chunks()
         )
         self._pending_offers.append(self.shards[sid].offer.remote(t))
+
+    def _ack_offers(self) -> None:
+        """Durability barrier for ONE range/batch: flush the offer
+        buffers and wait for every offer/requeue RPC before the range's
+        RESULT becomes visible. A worker that dies holding buffered or
+        un-acked offers loses them — async actor tasks die with their
+        submitter — and since the range already returned, its replay
+        never happens: the tier death test measured exactly that (3
+        reachable urls never admitted while their parents' docs
+        survived). Admitted counts are stashed for drain(). This is the
+        at-least-once contract, not an optimization: the cross-range
+        buffering this replaces saved per-batch RPC overhead but
+        silently traded away child durability."""
+        for sid in list(self._offer_buf):
+            self._flush_shard(sid)
+        if self._pending_offers:
+            import ray
+
+            self._drained_admits = getattr(
+                self, "_drained_admits", 0
+            ) + sum(ray.get(self._pending_offers))
+            self._pending_offers = []
+        if self._pending_misc:
+            import ray
+
+            ray.get(self._pending_misc)
+            self._pending_misc = []
 
     def drain(self) -> int:
         """Barrier: flush buffered offers, wait for every in-flight

@@ -926,6 +926,63 @@ def test_worker_death_replays_inflight_ranges(
     assert set(result.deadletters_table().column("url").to_pylist()) == dangling
 
 
+def test_offer_durability_barrier(corpus, tmp_path, ray_session):
+    """The durability half of the at-least-once contract:
+    process_range / process_batch must not RETURN until every child
+    offer the range produced is acked by its shard. A worker that dies
+    holding buffered or fire-and-forget offers loses them with the
+    process, and a range whose result already surfaced never replays —
+    the tier-death loop measured exactly that (reachable urls missing
+    while their parents' docs survived). This pins the barrier at the
+    stage level: after the dispatch entry points return, the worker
+    holds no buffered offer tables and no un-acked RPCs, and the
+    admitted counts are stashed for drain()."""
+    import time
+
+    import ray
+
+    from raycrawl.pipelines.crawl import build_frontier_rows
+    from raycrawl.stages.fetch import CrawlWorkerStage, build_fetch_index
+    from raycrawl.state.frontier import create_shards
+
+    shards = create_shards(2, state_dir=str(tmp_path / "shards"))
+    try:
+        stage = CrawlWorkerStage(
+            corpus,
+            build_fetch_index(corpus),
+            shards,
+            docs_dir=str(tmp_path / "docs"),
+            # the pull executor's flags — the buffering path that lost
+            # children before the barrier existed
+            blocking_offers=False,
+            flush_each_batch=True,
+        )
+        now = int(time.time() * 1e6)
+        frontier = build_frontier_rows(default_seeds(2), base_ts=now)
+        ref = ray.put(frontier)
+        out = stage.process_range(
+            ray.get(ref), 0, frontier.num_rows, epoch=0, now_us=now
+        )
+        assert out.num_rows > 0
+        # barrier post-conditions: nothing buffered, nothing in flight
+        assert not stage._offer_buf
+        assert stage._pending_offers == []
+        assert stage._pending_misc == []
+        # the seeds link onward, so the range offered children and the
+        # acked admit counts were stashed for drain()
+        admits = stage._drained_admits
+        assert admits > 0
+        pending = sum(
+            sum(c.values()) for c in ray.get([s.counts.remote() for s in shards])
+        )
+        assert pending == admits  # every admit is already IN a shard
+        assert stage.drain() == admits
+        assert stage._drained_admits == 0  # drain() consumed the stash
+    finally:
+        for s in shards:
+            ray.kill(s)
+
+
 def test_pull_politeness_with_spill_same_result(corpus, oracle, tmp_path, ray_session):
     """Shard-side gate × frontier spill: deferred rows re-enter the
     pending runs and may spill under a tiny pending_cap; the crawl must
