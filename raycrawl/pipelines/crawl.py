@@ -430,6 +430,12 @@ class CrawlEngine:
                     [s.counts.remote() for s in self.shards]
                     + [w.ping.remote() for w in self.workers]
                 )
+                # incarnation baseline for the checked offer drain
+                self._worker_pids = dict(
+                    enumerate(
+                        ray.get([w.pid.remote() for w in self.workers])
+                    )
+                )
         else:
             self.shards = [
                 FrontierShardState(
@@ -707,11 +713,22 @@ class CrawlEngine:
             if want > have:
                 new = [self._spawn_worker(wi) for wi in range(have, want)]
                 ray.get([w.ping.remote() for w in new])
+                pids = getattr(self, "_worker_pids", {})
+                for wi, p in zip(
+                    range(have, want),
+                    ray.get([w.pid.remote() for w in new]),
+                ):
+                    pids[wi] = p
+                self._worker_pids = pids
                 self.workers.extend(new)
             elif want < have:
                 for w in self.workers[want:]:
                     ray.kill(w, no_restart=True)
                 del self.workers[want:]
+                pids = getattr(self, "_worker_pids", {})
+                for wi in list(pids):
+                    if wi >= want:
+                        del pids[wi]
 
     # -- shard RPC helpers (transparent local/ray) -------------------------
 
@@ -879,6 +896,7 @@ class CrawlEngine:
             outstanding = [0] * len(self.workers)
             results: list = []
             drain_refs: list = []
+            ranges: dict[int, list] = {}  # widx -> [(off, size)] ack window
 
             def dispatch(widx: int) -> bool:
                 nonlocal pos
@@ -887,6 +905,7 @@ class CrawlEngine:
                 ref = self.workers[widx].process_range.remote(
                     epoch_ref, pos, chunk_size, epoch, now_us
                 )
+                ranges.setdefault(widx, []).append((pos, chunk_size))
                 pos += chunk_size
                 inflight[ref] = widx
                 outstanding[widx] += 1
@@ -903,8 +922,15 @@ class CrawlEngine:
                 outstanding[widx] -= 1
                 results.append(done[0])
                 if not dispatch(widx) and outstanding[widx] == 0:
-                    drain_refs.append(self.workers[widx].drain.remote())
+                    drain_refs.append(
+                        (widx, self.workers[widx].drain_info.remote())
+                    )
             self._drain_refs = drain_refs
+            # held for the checked drain at the epoch barrier: a pid
+            # change between acks means this window's fire-and-forget
+            # offers may have died with the old incarnation and must
+            # replay (side-effect-only)
+            self._epoch_ack = (epoch_ref, ranges, epoch, now_us)
             return pa.concat_tables(ray.get(results))
         # NOTE: an earlier ray_exec='dataset' branch ran this stage via
         # ray.data.from_arrow(chunks).map_batches(CrawlWorkerStage, ...)
@@ -1101,16 +1127,14 @@ class CrawlEngine:
                 self._handle_failures(failed, epoch, now_us, stats)
 
         if self.cfg.mode == "ray" and self.workers:
-            # non-blocking offers: drain() is the epoch barrier — every
-            # shard must have processed its offers before the next take.
-            # _process already issued each worker's drain the moment its
-            # last chunk finished, so most of the wait is overlapped.
-            import ray
-
-            stats["admitted"] = sum(
-                ray.get(getattr(self, "_drain_refs", []))
-            )
-            self._drain_refs = []
+            # non-blocking offers: the CHECKED drain is the epoch
+            # barrier — every shard must have processed its offers
+            # before the next take, and a worker that restarted since
+            # the last ack replays its window (see drain_info).
+            # _process already issued each worker's drain_info the
+            # moment its last chunk finished, so most of the wait is
+            # overlapped.
+            stats["admitted"] = self._checked_epoch_drain()
         self._docs_written += stats["docs"]
         if _dbg:
             _t5 = _time.perf_counter()
@@ -1122,6 +1146,65 @@ class CrawlEngine:
                 flush=True,
             )
         return stats
+
+    def _checked_epoch_drain(self) -> int:
+        """Epoch-mode ack point of the at-least-once offer contract
+        (mirrors the pull loop's drain_workers): resolve the overlapped
+        drain_info refs, and when a worker's pid changed since the last
+        ack — it restarted, so buffered / fire-and-forget offers from
+        ranges whose results were already delivered died with the old
+        process, and Ray's transparent task retry never replays a
+        delivered result — re-run that worker's range window for side
+        effects only. Replayed results are discarded (counters were
+        absorbed once); shard insert-if-absent and the last-wins doc
+        compaction make the replay idempotent. Returns summed admits."""
+        import ray
+
+        admits = 0
+        pairs = getattr(self, "_drain_refs", [])
+        self._drain_refs = []
+        epoch_ref, ranges, epoch, now_us = getattr(
+            self, "_epoch_ack", (None, {}, 0, 0)
+        )
+        self._epoch_ack = None
+        infos = dict(
+            zip([w for w, _ in pairs], ray.get([r for _, r in pairs]))
+        )
+        pids = getattr(self, "_worker_pids", {})
+        for _ in range(self.cfg.worker_max_restarts + 2):
+            admits += sum(i["admits"] for i in infos.values())
+            hit = [
+                widx
+                for widx, i in infos.items()
+                if pids.get(widx) is not None and pids[widx] != i["pid"]
+            ]
+            for widx, i in infos.items():
+                pids[widx] = i["pid"]
+            if not hit:
+                break
+            replay = [
+                self.workers[widx].process_range.remote(
+                    epoch_ref, off, size, epoch, now_us
+                )
+                for widx in hit
+                for off, size in ranges.get(widx, ())
+            ]
+            ray.get(replay)  # discarded: absorbed once already
+            infos = dict(
+                zip(
+                    hit,
+                    ray.get(
+                        [self.workers[w].drain_info.remote() for w in hit]
+                    ),
+                )
+            )
+        else:
+            raise RuntimeError(
+                "fetch workers kept restarting during the epoch drain; "
+                "aborting — resume from the last checkpoint"
+            )
+        self._worker_pids = pids
+        return admits
 
     def _call_take(self, per_shard, now_us: int):
         if self.cfg.mode == "ray":
@@ -1376,8 +1459,63 @@ class CrawlEngine:
         self._tiers = tiers  # close() kills leftovers on error paths
         targets = tiers or pool
         outstanding = [0] * len(targets)
-        inflight: dict = {}  # ref -> (target_idx, n_rows)
+        inflight: dict = {}  # ref -> (target_idx, n_rows, replay_desc)
         inflight_rows = 0
+        # Checked-drain state (the at-least-once offer contract's ack
+        # point): offers are fire-and-forget and buffered across ranges
+        # for throughput, so a worker death can lose children of ranges
+        # whose results already surfaced — and Ray's transparent task
+        # retry never replays a DELIVERED result. The driver therefore
+        # keeps every returned dispatch descriptor in `unacked` until
+        # the next drain wave proves (pid unchanged since the previous
+        # wave) that one incarnation both ran the window and acked its
+        # offers. On a pid mismatch the window replays side-effect-only
+        # (shard insert-if-absent dedups re-offers; duplicate doc parts
+        # collapse in the last-wins compaction; the replayed results
+        # are DISCARDED so counters are not double-absorbed). Cost off
+        # the failure path: holding take-table refs alive for one flush
+        # interval (<= ~16 cycles of waves in plasma) and one dict/pid
+        # compare per drain — the hot loop itself stays async.
+        last_pids: list[int] = ray.get([w.pid.remote() for w in pool])
+        unacked: dict[int, list] = {}
+
+        def drain_workers() -> None:
+            nonlocal admitted_known, last_pids
+            for _ in range(cfg.worker_max_restarts + 2):
+                infos = ray.get([w.drain_info.remote() for w in pool])
+                admitted_known += sum(i["admits"] for i in infos)
+                pids = [i["pid"] for i in infos]
+                hit = {
+                    (widx // group if tiers else widx)
+                    for widx in range(len(pool))
+                    if pids[widx] != last_pids[widx]
+                }
+                last_pids = pids
+                if not hit:
+                    unacked.clear()
+                    return
+                replay = []
+                for tidx in hit:
+                    for desc in unacked.get(tidx, ()):
+                        if tiers:
+                            lease, cyc, ck = desc
+                            replay.append(
+                                targets[tidx].lease.remote(lease, cyc, ck)
+                            )
+                        else:
+                            tref, off, size, cyc, ck = desc
+                            replay.append(
+                                targets[tidx].process_range.remote(
+                                    tref, off, size, cyc, ck
+                                )
+                            )
+                    unacked.pop(tidx, None)
+                ray.get(replay)  # results discarded: absorbed once already
+                # loop: ack the replay's own offers and re-verify pids
+            raise RuntimeError(
+                "fetch workers kept restarting during offer drain; "
+                "aborting — resume from the last checkpoint"
+            )
         work_q: deque = deque()  # (take_ref, offset, size)
         failed_tables: list[pa.Table] = []
         last_flushed_cycle = -1
@@ -1424,13 +1562,12 @@ class CrawlEngine:
                     fetch_local=True,
                 )
                 for r in done:
-                    tidx, rows = inflight.pop(r)
+                    tidx, rows, desc = inflight.pop(r)
                     outstanding[tidx] -= 1
                     inflight_rows -= rows
+                    unacked.setdefault(tidx, []).append(desc)
                 absorb(ray.get(done))
-            admitted_known += sum(
-                ray.get([w.drain.remote() for w in pool])
-            )
+            drain_workers()
             refs = [s.flush_epoch.remote(cycle) for s in self.shards]
             last_flushed_cycle = cycle
             self._ingest_lineage(ray.get(refs), cycle)
@@ -1648,6 +1785,7 @@ class CrawlEngine:
                     ref = targets[widx].lease.remote(
                         lease, cycle, clock_us
                     )
+                    desc = (lease, cycle, clock_us)
                     _tm["chunks"] += len(lease)
                     _tm["leases"] += 1
                 else:
@@ -1656,8 +1794,9 @@ class CrawlEngine:
                     ref = targets[widx].process_range.remote(
                         take_ref, off, size, cycle, clock_us
                     )
+                    desc = (take_ref, off, size, cycle, clock_us)
                     _tm["chunks"] += 1
-                inflight[ref] = (widx, rows)
+                inflight[ref] = (widx, rows, desc)
                 outstanding[widx] += 1
                 inflight_rows += rows
             _tm["dispatch"] += _time.perf_counter() - _t
@@ -1676,9 +1815,10 @@ class CrawlEngine:
                 )
                 done += extra
                 for r in done:
-                    tidx, rows = inflight.pop(r)
+                    tidx, rows, desc = inflight.pop(r)
                     outstanding[tidx] -= 1
                     inflight_rows -= rows
+                    unacked.setdefault(tidx, []).append(desc)
                 _tm["sweeps"] += 1
                 _t2 = _time.perf_counter()
                 _tm["wait"] += _t2 - _t
@@ -1692,7 +1832,7 @@ class CrawlEngine:
             if self._route_refs:
                 ray.get(self._route_refs)
                 self._route_refs.clear()
-            admitted_known += sum(ray.get([w.drain.remote() for w in pool]))
+            drain_workers()
             last_counts = self._call("counts")
             pending = sum(sum(c.values()) for c in last_counts)
             _tm["stall"] += _time.perf_counter() - _t

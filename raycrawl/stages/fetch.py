@@ -391,13 +391,14 @@ class CrawlWorkerStage:
         because Ray Data's ActorPoolMapOperator tears its pool down at
         the end of every Dataset execution and the crawl is iterative —
         re-initializing corpus handles every epoch would dominate
-        wall-clock. Identical kernel to the map_batches path. Offers
-        are acked before the result returns (_ack_offers) so a worker
-        death can never orphan a completed batch's children."""
+        wall-clock. Identical kernel to the map_batches path. Child
+        offers stay fire-and-forget and buffered across batches; the
+        at-least-once contract is closed by the ENGINE's checked drain
+        (drain_info pid comparison + side-effect replay of the ranges
+        returned since the last ack) — a per-batch synchronous ack here
+        was measured to serialize every range on shard RPC latency."""
         self.set_epoch(epoch, now_us)
-        result = self(batch)
-        self._ack_offers()
-        return result
+        return self(batch)
 
     def process_range(
         self, table: pa.Table, off: int, size: int, epoch: int, now_us: int
@@ -407,15 +408,12 @@ class CrawlWorkerStage:
         driver-side per-chunk serialization of table slices was a
         measured scaling bottleneck; plasma reads here are zero-copy.
         Accepts either a bare table ref or a shard take_with_counts
-        response dict. Offers are acked before the result returns
-        (_ack_offers) so a worker death can never orphan a completed
-        range's children."""
+        response dict. Durability of this range's child offers is the
+        engine's checked drain (see process())."""
         if isinstance(table, dict):
             table = table["table"]
         self.set_epoch(epoch, now_us)
-        result = self(table.slice(off, size))
-        self._ack_offers()
-        return result
+        return self(table.slice(off, size))
 
     # -- candidate routing -------------------------------------------------
 
@@ -494,46 +492,39 @@ class CrawlWorkerStage:
         )
         self._pending_offers.append(self.shards[sid].offer.remote(t))
 
-    def _ack_offers(self) -> None:
-        """Durability barrier for ONE range/batch: flush the offer
-        buffers and wait for every offer/requeue RPC before the range's
-        RESULT becomes visible. A worker that dies holding buffered or
-        un-acked offers loses them — async actor tasks die with their
-        submitter — and since the range already returned, its replay
-        never happens: the tier death test measured exactly that (3
-        reachable urls never admitted while their parents' docs
-        survived). Admitted counts are stashed for drain(). This is the
-        at-least-once contract, not an optimization: the cross-range
-        buffering this replaces saved per-batch RPC overhead but
-        silently traded away child durability."""
-        for sid in list(self._offer_buf):
-            self._flush_shard(sid)
-        if self._pending_offers:
-            import ray
+    def pid(self) -> int:
+        """Incarnation stamp for the checked-drain contract: a restarted
+        actor lives in a NEW process, so a pid change between two drains
+        tells the engine that buffered / fire-and-forget offers may have
+        died with the old process and the since-last-ack range window
+        must replay (side-effect-only; shard insert-if-absent and the
+        last-wins doc compaction make the replay idempotent)."""
+        return os.getpid()
 
-            self._drained_admits = getattr(
-                self, "_drained_admits", 0
-            ) + sum(ray.get(self._pending_offers))
-            self._pending_offers = []
-        if self._pending_misc:
-            import ray
-
-            ray.get(self._pending_misc)
-            self._pending_misc = []
+    def drain_info(self) -> dict:
+        """Checked drain: the ack point of the at-least-once offer
+        contract. Flushes + awaits every offer/requeue RPC and returns
+        {pid, admits}. The engine compares pid against the value it saw
+        at the PREVIOUS ack: equality proves one incarnation performed
+        every range since then AND acked their offers, so nothing was
+        lost; a mismatch triggers replay of that window. This keeps the
+        hot path fire-and-forget (a per-range synchronous ack was
+        measured to serialize ranges on shard RPC latency) while closing
+        even the narrow submitted-but-undelivered RPC race — those
+        offers are acked here or their ranges replay."""
+        return {"pid": os.getpid(), "admits": self.drain()}
 
     def drain(self) -> int:
         """Barrier: flush buffered offers, wait for every in-flight
         offer/requeue of this worker, return the summed admitted count
         (requeues are at-least-once re-inserts, not admits)."""
-        early = getattr(self, "_drained_admits", 0)
-        self._drained_admits = 0
         for sid in list(self._offer_buf):
             self._flush_shard(sid)
         if not self._pending_offers and not self._pending_misc:
-            return early
+            return 0
         import ray
 
-        total = early + sum(ray.get(self._pending_offers))
+        total = sum(ray.get(self._pending_offers))
         if self._pending_misc:
             ray.get(self._pending_misc)
             self._pending_misc = []

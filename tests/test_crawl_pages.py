@@ -7,6 +7,7 @@ links deadlettered after max_attempts, and identical results under
 politeness throttling, multi-shard ray mode, and resume-from-checkpoint.
 """
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -926,17 +927,22 @@ def test_worker_death_replays_inflight_ranges(
     assert set(result.deadletters_table().column("url").to_pylist()) == dangling
 
 
-def test_offer_durability_barrier(corpus, tmp_path, ray_session):
-    """The durability half of the at-least-once contract:
-    process_range / process_batch must not RETURN until every child
-    offer the range produced is acked by its shard. A worker that dies
-    holding buffered or fire-and-forget offers loses them with the
-    process, and a range whose result already surfaced never replays —
-    the tier-death loop measured exactly that (reachable urls missing
-    while their parents' docs survived). This pins the barrier at the
-    stage level: after the dispatch entry points return, the worker
-    holds no buffered offer tables and no un-acked RPCs, and the
-    admitted counts are stashed for drain()."""
+def test_offer_checked_drain_contract(corpus, tmp_path, ray_session):
+    """The durability half of the at-least-once contract, stage level.
+    Child offers are fire-and-forget and buffered across ranges (a
+    per-range synchronous ack was measured to serialize every range on
+    shard RPC latency — BASELINE.md round 4), so the ack point is the
+    engine's CHECKED drain: drain_info flushes + awaits everything and
+    returns {pid, admits}; the engine compares pid against the previous
+    ack and replays the returned-range window on a mismatch. This pins
+    the primitives that replay correctness rests on:
+
+    1. drain_info leaves no buffered tables / un-acked RPCs and its
+       admit count equals the rows actually sitting in the shards;
+    2. pid is the incarnation stamp (stable within one process);
+    3. replaying an already-processed range is offer-idempotent — the
+       shards' insert-if-absent bounces every duplicate, so a
+       conservative replay can never corrupt the frontier."""
     import time
 
     import ray
@@ -952,8 +958,7 @@ def test_offer_durability_barrier(corpus, tmp_path, ray_session):
             build_fetch_index(corpus),
             shards,
             docs_dir=str(tmp_path / "docs"),
-            # the pull executor's flags — the buffering path that lost
-            # children before the barrier existed
+            # the pull executor's flags — fire-and-forget buffered offers
             blocking_offers=False,
             flush_each_batch=True,
         )
@@ -964,23 +969,132 @@ def test_offer_durability_barrier(corpus, tmp_path, ray_session):
             ray.get(ref), 0, frontier.num_rows, epoch=0, now_us=now
         )
         assert out.num_rows > 0
-        # barrier post-conditions: nothing buffered, nothing in flight
+        info = stage.drain_info()
+        import os
+
+        assert info["pid"] == os.getpid() == stage.pid()
+        # post-conditions: nothing buffered, nothing in flight, and the
+        # seeds link onward so the range offered children
         assert not stage._offer_buf
         assert stage._pending_offers == []
         assert stage._pending_misc == []
-        # the seeds link onward, so the range offered children and the
-        # acked admit counts were stashed for drain()
-        admits = stage._drained_admits
+        admits = info["admits"]
         assert admits > 0
         pending = sum(
             sum(c.values()) for c in ray.get([s.counts.remote() for s in shards])
         )
         assert pending == admits  # every admit is already IN a shard
-        assert stage.drain() == admits
-        assert stage._drained_admits == 0  # drain() consumed the stash
+        # replay idempotence: re-running the SAME range (what the engine
+        # does for the whole unacked window after a pid mismatch) must
+        # bounce every duplicate offer at the shards
+        stage.process_range(
+            ray.get(ref), 0, frontier.num_rows, epoch=0, now_us=now
+        )
+        assert stage.drain_info()["admits"] == 0
+        pending2 = sum(
+            sum(c.values()) for c in ray.get([s.counts.remote() for s in shards])
+        )
+        assert pending2 == pending
     finally:
         for s in shards:
             ray.kill(s)
+
+
+@pytest.mark.parametrize(
+    "exec_tiers", [("pull", 0), ("pull", 1), ("actors", 0)],
+    ids=["pull", "pull-tier", "actors"],
+)
+def test_worker_death_replays_unacked_offer_window(
+    tmp_path, ray_session, exec_tiers
+):
+    """The loss path the checked drain exists for, DETERMINISTICALLY
+    (the tier kill-loop only reproduced it probabilistically via graph
+    redundancy): a worker dies AFTER a range's result was delivered but
+    BEFORE its buffered child offers reached the shards. Ray's
+    transparent task retry never replays a delivered result, so without
+    the pid-checked drain those children are silently lost.
+
+    Corpus is a star-of-stars — seed → FAN children → one UNIQUE
+    grandchild each — so a lost offer is a permanently missing URL, not
+    recoverable through another parent. One worker, two ranges in
+    flight (double buffer): range A (first FAN chunk) returns with its
+    grandchild offers buffered (< the 2048-row flush threshold), the
+    kamikaze kills the process inside range B. B replays transparently
+    (in-flight); A's offers must come back via the engine's replay of
+    the returned-but-unacked window."""
+    import os as _os
+    import time
+
+    from raycrawl.stages.fetch import TableFetcher
+
+    ray_exec, tiers = exec_tiers
+    FAN = 400
+    base = "http://star.example.com"
+    urls, htmls = [f"{base}/seed"], []
+    child_anchors = "".join(
+        f'<a href="{base}/c/{i}">c{i}</a>' for i in range(FAN)
+    )
+    htmls.append(f"<html><body>{child_anchors}</body></html>".encode())
+    for i in range(FAN):
+        urls.append(f"{base}/c/{i}")
+        htmls.append(
+            f'<html><body><a href="{base}/g/{i}">g</a></body></html>'.encode()
+        )
+    for i in range(FAN):
+        urls.append(f"{base}/g/{i}")
+        htmls.append(b"<html><body>leaf</body></html>")
+    n = len(urls)
+    corpus = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(
+                [1_600_000_000_000_000 + i for i in range(n)],
+                pa.timestamp("us"),
+            ),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(["t"] * n, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+        }
+    )
+    marker = str(tmp_path / f"unacked-killed-{ray_exec}-{tiers}.marker")
+
+    class KamikazeFetcher(TableFetcher):
+        """Dies once process-wide, on its 3rd range: range 1 is the
+        seed, range 2 the first FAN chunk (returns + buffers offers),
+        range 3 is mid-flight when the process exits."""
+
+        def __init__(self, corpus, index):
+            super().__init__(corpus, index)
+            self._calls = 0
+
+        def lookup(self, digests):
+            self._calls += 1
+            if self._calls == 3:
+                try:
+                    fd = _os.open(marker, _os.O_CREAT | _os.O_EXCL)
+                except FileExistsError:
+                    pass
+                else:
+                    _os.close(fd)
+                    _os._exit(1)
+            return super().lookup(digests)
+
+    cfg = CrawlConfig(
+        state_dir=str(tmp_path / f"state-unacked-{ray_exec}-{tiers}"),
+        mode="ray",
+        ray_exec=ray_exec,
+        num_shards=3,
+        fetch_concurrency=1,
+        fetch_batch_size=256,
+        fetcher_cls=KamikazeFetcher,
+        node_dispatchers=tiers,
+    )
+    seeds = [{"url": f"{base}/seed", "type": "page", "policy": "default",
+              "queue": "normal"}]
+    result = CrawlEngine(corpus, cfg).run(seeds=seeds)
+    assert _os.path.exists(marker)  # the death really happened
+    got = set(result.documents_table().column("url").to_pylist())
+    assert got == set(urls)  # every grandchild recovered
 
 
 def test_pull_politeness_with_spill_same_result(corpus, oracle, tmp_path, ray_session):
