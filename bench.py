@@ -211,7 +211,7 @@ def run_bench() -> dict:
     if not crawl_only:
         cap = int(os.environ.get("GRAFT_SPILL_CAP", "40000"))
         swall, scrawled, _, smets = crawl_once("spill", pending_cap=cap)
-        spill_raw = (cap, swall, scrawled, smets)
+        spill_raw = (cap, swall, scrawled, smets, _window_ceiling())
         os.sync()
 
     runs = [crawl_once(f"timed{i}") for i in range(reps)]
@@ -265,6 +265,7 @@ def run_bench() -> dict:
             "host_rate_per_sec": rate,
             "crawl_delay_hosts": len(hosts),
             "vs_unbounded": round(pwall / wall, 2),
+            "window_ceiling": _window_ceiling(),
         }
 
     # dispatch-tier entry: same crawl with the per-node lease tier
@@ -284,13 +285,14 @@ def run_bench() -> dict:
             "urls_per_sec": round(tcrawled / twall, 1),
             "node_dispatchers": ndisp,
             "vs_unbounded": round(twall / wall, 2),
+            "window_ceiling": _window_ceiling(),
         }
 
     # spill entry (measured above, before the headline): attach the
     # vs_unbounded ratio now that the headline wall time is known.
     spill = None
     if spill_raw is not None:
-        cap, swall, scrawled, smets = spill_raw
+        cap, swall, scrawled, smets, sceil = spill_raw
         spill = {
             "value": round(swall, 3),
             "urls_crawled": scrawled,
@@ -299,6 +301,7 @@ def run_bench() -> dict:
             "rows_spilled": int(smets.get("spilled", 0)),
             "vs_unbounded": round(swall / wall, 2),
             "bench_position": "first (clean page cache; see comment)",
+            "window_ceiling": sceil,
         }
 
     # representative operator queries
@@ -432,6 +435,35 @@ def run_pair(
         "paired_ratios": [round(x, 3) for x in ratios],
         "scaling_efficiency": round(eff, 3),
     }
+
+
+def _window_ceiling() -> float | None:
+    """Re-measure the host's ALU ceiling mid-bench, in a FRESH
+    subprocess (this process holds Ray, and forking a Ray-holding
+    process is documented fork-unsafety). The hypervisor's capacity
+    withdrawals are minute-scale (BASELINE.md "host-capacity
+    collapse"), so a ceiling measured at bench START says nothing about
+    an entry that runs three crawls later — the specialty entries
+    (spill / polite / tier) carry their own time-adjacent reading so a
+    degraded vs_unbounded ratio is attributable from the JSON alone."""
+    import subprocess
+    import sys as _sys
+
+    here = os.path.dirname(os.path.abspath(__file__)) or "."
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from bench import _alu_probe\n"
+        "s = _alu_probe(%d, dur=1.0); f = _alu_probe(%d, dur=1.0)\n"
+        "print(round(f / s, 3) if s else 1.0)"
+    ) % (here, max(4, NUM_CPUS // 4), NUM_CPUS)
+    try:
+        r = subprocess.run(
+            [_sys.executable, "-c", code],
+            capture_output=True, timeout=60, text=True,
+        )
+        return float(r.stdout.strip().splitlines()[-1])
+    except Exception:
+        return None
 
 
 def _alu_probe(nproc: int, dur: float = 4.0) -> float:
