@@ -242,4 +242,6 @@ def test_knn_ivf_recall_vs_bruteforce(ray_session):
     exact_set = set(zip(exact["query_id"], exact["neighbor_id"]))
     approx_set = set(zip(approx["query_id"], approx["neighbor_id"]))
     recall = len(exact_set & approx_set) / len(exact_set)
-    assert recall >= 0.2, recall  # nprobe 4 of 16 lists
+    # deterministic (seeded k-means, fixed corpus): measures 0.58 at
+    # nprobe 4 of 16 lists; floor set just under the operating point
+    assert recall >= 0.5, recall
