@@ -297,12 +297,18 @@ def run_bench() -> dict:
     # lifted by the time the specialty entries ran. Resample ONCE, only
     # on that provable inversion (never on a merely-slow headline), and
     # recompute the vs_unbounded ratios against the final wall.
+    resample = None
     if not crawl_only:
         specialty = [
             e["value"] for e in (polite, tier) if e is not None
         ] + ([spill_raw[1]] if spill_raw is not None else [])
         if specialty and min(specialty) < wall:
             rwall, rcrawled, _, _ = crawl_once("timed_retry")
+            resample = {
+                "inverted_wall": round(wall, 3),
+                "resampled_wall": round(rwall, 3),
+                "window_ceiling": _window_ceiling(),
+            }
             if rwall < wall:
                 wall, crawled = rwall, rcrawled
             for e in (polite, tier):
@@ -362,6 +368,8 @@ def run_bench() -> dict:
     }
     if probe is not None:
         out["capacity_probe"] = probe
+    if resample is not None:
+        out["headline_resample"] = resample
     if polite is not None:
         out["polite"] = polite
     if spill is not None:
