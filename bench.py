@@ -288,21 +288,26 @@ def run_bench() -> dict:
             "window_ceiling": _window_ceiling(),
         }
 
-    # headline-inversion retry: polite/spill/tier crawl the IDENTICAL
-    # set with strictly MORE work than the unbounded headline (robots +
-    # rate gate, forced frontier spill, an extra dispatch hop), so any
-    # specialty entry beating the headline is impossible by
-    # construction — it means both headline samples landed in a
-    # host-capacity collapse window (BASELINE.md, 2026-08-18) that had
-    # lifted by the time the specialty entries ran. Resample ONCE, only
-    # on that provable inversion (never on a merely-slow headline), and
-    # recompute the vs_unbounded ratios against the final wall.
+    # headline-inversion retry: polite/spill/tier crawl the (nearly)
+    # IDENTICAL set with strictly MORE work than the unbounded headline
+    # (robots + rate gate, forced frontier spill, an extra dispatch
+    # hop; the polite set adds only 2 robots.txt URLs), so a specialty
+    # entry materially beating the headline means both headline samples
+    # landed in a host-capacity collapse window (BASELINE.md,
+    # 2026-08-18) that had lifted by the time the specialty entries
+    # ran. ADVICE r4: compare UNROUNDED walls and require a 10% margin
+    # — with documented ±25% host noise and only ~0-6% tier overhead, a
+    # bare strict inversion can be noise alone, and a one-directional
+    # min-of-3 would bias the headline downward. Resample ONCE, only on
+    # an inversion larger than single-run noise, and recompute the
+    # vs_unbounded ratios against the final wall.
     resample = None
     if not crawl_only:
         specialty = [
-            e["value"] for e in (polite, tier) if e is not None
+            w for w in (pwall if polite else None, twall if tier else None)
+            if w is not None
         ] + ([spill_raw[1]] if spill_raw is not None else [])
-        if specialty and min(specialty) < wall:
+        if specialty and min(specialty) < 0.9 * wall:
             rwall, rcrawled, _, _ = crawl_once("timed_retry")
             resample = {
                 "inverted_wall": round(wall, 3),
