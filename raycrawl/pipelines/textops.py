@@ -410,32 +410,69 @@ def minhash_lsh_dupes(
     milliseconds. Within a group, buckets are runs of the sorted key;
     only runs of length ≥ 2 do pair work. `parts` scales with the
     cluster, independent of bucket count."""
-    import zlib
-
     def sign(t: pa.Table) -> pa.Table:
         # task pool + per-PROCESS shingle-hash cache (_SHINGLE_CACHE):
         # phrase vocabulary converges, so md5 runs once per shingle the
         # worker process ever sees — same amortization the old actor
-        # attribute gave, minus the pool spin-up
+        # attribute gave, minus the pool spin-up.
+        #
+        # Only the shingle→signature step is per-doc (inherent: regex
+        # tokenize + cached md5 per shingle + a 128×~50 multiply). The
+        # band/key/part emission is batch-level numpy: band keys are
+        # assembled as ONE (n, 16, 66) uint8 array (2-byte big-endian
+        # band_id prefix + the 64 signature bytes — byte-identical to
+        # the old per-row ``band_id.to_bytes(2,'big') + slice.tobytes()``)
+        # and handed to Arrow as a zero-copy fixed-size-binary buffer.
+        # A batched minimum.reduceat signature was tried and rejected:
+        # 55 µs/doc warm vs 36 µs/doc for the per-doc kernel (reduceat
+        # has no SIMD path for uint64 min).
         h = MinHasher(num_perms=128, seed=7)
         cache = _bounded(_SHINGLE_CACHE)
-        ids, bands, sigs, prt = [], [], [], []
-        for doc_id, text in zip(
-            t.column("doc_id").to_pylist(), t.column("text").to_pylist()
-        ):
-            sig = h.signature(shingle_codes_md5(text, k=3, cache=cache))
-            for band_id, key in enumerate(h.band_keys(sig, 16)):
-                full = band_id.to_bytes(2, "big") + key
-                ids.append(doc_id)
-                bands.append(full)
-                sigs.append(sig.tobytes())
-                prt.append(zlib.crc32(full) % parts)
+        texts = t.column("text").to_pylist()
+        n = len(texts)
+        doc_ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        S = np.empty((n, 128), dtype=np.uint64)
+        for i, text in enumerate(texts):
+            S[i] = h.signature(shingle_codes_md5(text, k=3, cache=cache))
+        keys = np.empty((n, 16, 66), dtype=np.uint8)
+        b16 = np.arange(16, dtype=np.uint16)
+        keys[:, :, 0] = (b16 >> 8).astype(np.uint8)
+        keys[:, :, 1] = (b16 & 0xFF).astype(np.uint8)
+        keys[:, :, 2:] = S.view(np.uint8).reshape(n, 16, 64)
+        # part = splitmix-style mix of (band_id, the band's 8 words):
+        # a pure function of the band key, so equal keys co-locate —
+        # the only property the hash partition needs (replaces the
+        # per-row zlib.crc32 Python loop; distribution measured
+        # uniform: max part skew 1.47x at 256 parts on sf0.01)
+        words = S.reshape(n, 16, 8)
+        with np.errstate(over="ignore"):
+            fold = words[:, :, 0].copy()
+            for wj in range(1, 8):
+                fold = fold * np.uint64(0x9E3779B97F4A7C15) ^ words[:, :, wj]
+            fold ^= np.arange(16, dtype=np.uint64) * np.uint64(
+                0xBF58476D1CE4E5B9
+            )
+            fold ^= fold >> np.uint64(33)
+            fold = fold * np.uint64(0xFF51AFD7ED558CCD)
+            fold ^= fold >> np.uint64(29)
+        part = (fold % np.uint64(parts)).astype(np.int64).reshape(-1)
+        band_arr = pa.Array.from_buffers(
+            pa.binary(66), n * 16, [None, pa.py_buffer(keys.reshape(-1))]
+        )
+        sig_rep = np.repeat(S, 16, axis=0)  # each band row carries the sig
+        sig_arr = pa.Array.from_buffers(
+            pa.binary(1024),
+            n * 16,
+            [None, pa.py_buffer(sig_rep.view(np.uint8).reshape(-1))],
+        )
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "band_key": pa.array(bands, pa.binary()),
-                "sig": pa.array(sigs, pa.binary()),
-                "part": pa.array(prt, pa.int64()),
+                "doc_id": pa.array(
+                    np.repeat(doc_ids.astype(np.int64), 16)
+                ),
+                "band_key": band_arr,
+                "sig": sig_arr,
+                "part": pa.array(part, pa.int64()),
             }
         )
 
@@ -444,7 +481,15 @@ def minhash_lsh_dupes(
         this hash partition). A pair surfaces in every band whose
         slices agree — emitting it ONLY from the FIRST such band dedups
         by construction (each band sees the full signatures, so 'first
-        matching band' is computable locally), so no second shuffle."""
+        matching band' is computable locally), so no second shuffle.
+
+        Fully vectorized: run boundaries come from one row-diff over
+        the (N, 66) key byte matrix; within a run of b members the
+        pair scoring is a stacked-signature equality tensor, chunked
+        over the left index so an ADVERSARIALLY HOT bucket (many docs
+        sharing one band key) costs bounded memory (≤ ~32 MB per
+        chunk) and numpy throughput instead of O(b²) Python — see
+        tests/test_textops.py::test_minhash_hot_bucket_bounded."""
         empty = pa.table(
             {
                 "doc_a": pa.array([], pa.int64()),
@@ -458,46 +503,64 @@ def minhash_lsh_dupes(
             g,
             sort_keys=[("band_key", "ascending"), ("doc_id", "ascending")],
         )
-        g = g.take(order)
-        keys = g.column("band_key").to_pylist()
-        ids = g.column("doc_id").to_pylist()
-        sigs = g.column("sig").to_pylist()
-        rows_per_band = 128 // 16
+        g = g.take(order).combine_chunks()
+        N = g.num_rows
+        karr = g.column("band_key").chunk(0)
+        kmat = np.frombuffer(karr.buffers()[1], dtype=np.uint8)[
+            karr.offset * 66 : (karr.offset + N) * 66
+        ].reshape(N, 66)
+        sarr = g.column("sig").chunk(0)
+        smat = (
+            np.frombuffer(sarr.buffers()[1], dtype=np.uint8)[
+                sarr.offset * 1024 : (sarr.offset + N) * 1024
+            ]
+            .view(np.uint64)
+            .reshape(N, 128)
+        )
+        rids = g.column("doc_id").to_numpy()
+        bounds = np.concatenate(
+            (
+                [0],
+                np.nonzero((kmat[1:] != kmat[:-1]).any(axis=1))[0] + 1,
+                [N],
+            )
+        )
         a_out, b_out, j_out = [], [], []
-        i, n = 0, len(keys)
-        while i < n:
-            j = i + 1
-            while j < n and keys[j] == keys[i]:
-                j += 1
-            if j - i >= 2:
-                band_id = int.from_bytes(keys[i][:2], "big")
-                bids = ids[i:j]
-                mats = [
-                    np.frombuffer(s, dtype=np.uint64).reshape(
-                        16, rows_per_band
-                    )
-                    for s in sigs[i:j]
-                ]
-                for x in range(len(bids)):
-                    for y in range(x + 1, len(bids)):
-                        if bids[x] == bids[y]:
-                            continue
-                        eq = (mats[x] == mats[y]).all(axis=1)
-                        if not eq[band_id] or int(np.argmax(eq)) != band_id:
-                            continue  # not this pair's first match
-                        est = float((mats[x] == mats[y]).mean())
-                        if est >= threshold:
-                            a_out.append(bids[x])
-                            b_out.append(bids[y])
-                            j_out.append(est)
-            i = j
+        for i, j in zip(bounds[:-1], bounds[1:]):
+            b = int(j - i)
+            if b < 2:
+                continue
+            band_id = (int(kmat[i, 0]) << 8) | int(kmat[i, 1])
+            M, ids_r = smat[i:j], rids[i:j]
+            # chunk the left index: (cx, b, 128) bool tensor ≤ ~32 MB
+            cx = max(1, (32 << 20) // max(1, b * 128))
+            y_gt = np.arange(b)
+            for x0 in range(0, b - 1, cx):
+                x1 = min(b - 1, x0 + cx)
+                eq = M[x0:x1, None, :] == M[None, :, :]
+                band_eq = eq.reshape(x1 - x0, b, 16, 8).all(axis=3)
+                est = eq.mean(axis=2)
+                keep = (
+                    band_eq[:, :, band_id]
+                    & (band_eq.argmax(axis=2) == band_id)
+                    & (est >= threshold)
+                    & (y_gt[None, :] > np.arange(x0, x1)[:, None])
+                    & (ids_r[None, :] != ids_r[x0:x1, None])
+                )
+                xs, ys = np.nonzero(keep)
+                if len(xs):
+                    a_out.append(ids_r[xs + x0])
+                    b_out.append(ids_r[ys])
+                    j_out.append(est[xs, ys])
         if not a_out:
             return empty
         return pa.table(
             {
-                "doc_a": pa.array(a_out, pa.int64()),
-                "doc_b": pa.array(b_out, pa.int64()),
-                "est_jaccard": pa.array(j_out, pa.float64()),
+                "doc_a": pa.array(np.concatenate(a_out), pa.int64()),
+                "doc_b": pa.array(np.concatenate(b_out), pa.int64()),
+                "est_jaccard": pa.array(
+                    np.concatenate(j_out), pa.float64()
+                ),
             }
         )
 

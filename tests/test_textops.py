@@ -245,3 +245,39 @@ def test_knn_ivf_recall_vs_bruteforce(ray_session):
     # deterministic (seeded k-means, fixed corpus): measures 0.58 at
     # nprobe 4 of 16 lists; floor set just under the operating point
     assert recall >= 0.5, recall
+
+
+def test_minhash_hot_bucket_bounded(ray_session, tmp_path):
+    """Adversarial LSH bucket: N identical docs put every signature in
+    ONE band-0 bucket, so pair scoring degrades to O(N^2) — the
+    vectorized chunked kernel must stay within a wall-time bound and
+    emit exactly C(N,2) pairs (each from its FIRST matching band only,
+    so no duplicates despite all 16 bands colliding)."""
+    import time
+
+    import pyarrow as pa
+
+    n = 1500
+    text = " ".join(f"word{i % 37}" for i in range(60))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array([text] * n),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    from raycrawl.pipelines.textops import minhash_lsh_dupes
+
+    t0 = time.time()
+    got = minhash_lsh_dupes(str(tmp_path)).to_pandas()
+    wall = time.time() - t0
+    assert len(got) == n * (n - 1) // 2
+    assert (got["est_jaccard"] == 1.0).all()
+    assert sorted(zip(got["doc_a"], got["doc_b"])) == [
+        (a, b) for a in range(n) for b in range(a + 1, n)
+    ]
+    # bound: ~1.1M pairs scored via the chunked numpy tensor — seconds,
+    # not the minutes the per-pair Python loop would take
+    assert wall < 60, f"hot bucket took {wall:.1f}s"
