@@ -569,8 +569,162 @@ def run_scaling() -> dict:
     return result
 
 
+def run_bigcorpus() -> dict:
+    """Larger-than-any-single-object corpus crawl (round-4 verdict item
+    1's "done" evidence): generate a pages corpus that exceeds every
+    per-worker memory share (and the in-memory size at which the
+    round-3 single-broadcast design OOM'd, BASELINE.md 10M-page
+    post-mortem) as a DIRECTORY of parquet files, crawl it through the
+    sharded-corpus path source — the driver never reads a page row, no
+    whole-corpus object or index ever exists — and record per-worker
+    private memory (PSS/RSS sampled live) alongside throughput.
+    GRAFT_BIG_PPD scales it (default 4000 → 20M pages ≈ 26 GB in-memory
+    on the sf0.1 docs table: ~2/3 of the whole object store, 2.6× the
+    10M-page OOM point, ~34× one worker's plasma share)."""
+    import threading
+
+    import pyarrow.parquet as pq
+    import ray
+
+    ppd = int(os.environ.get("GRAFT_BIG_PPD", "4000"))
+    docs_path = f"{SF_DIR}/documents.parquet"
+    tag = SF_DIR.replace("/", "_")
+    out_dir = f"/tmp/raycrawl_bench_bigcorpus_{tag}_ppd{ppd}"
+    docs = pq.read_table(
+        docs_path, columns=["doc_id", "text", "lang", "source"]
+    )
+    from raycrawl.corpus import write_pages_corpus_dir
+
+    files = write_pages_corpus_dir(
+        docs, out_dir, pages_per_doc=ppd, seed=42
+    )
+    n_pages = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    disk_bytes = sum(os.path.getsize(f) for f in files)
+
+    try:
+        os.sched_setaffinity(0, range(NUM_CPUS))
+    except (AttributeError, OSError):  # pragma: no cover
+        pass
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from raycrawl.pipelines.crawl import CrawlConfig, CrawlEngine
+
+    # seeds via the deterministic page-url formula — reading the url
+    # column of a 20M-page corpus just to sample seeds would defeat
+    # the driver-never-holds-it property being demonstrated
+    doc_ids = docs.column("doc_id").to_pylist()
+    sources = docs.column("source").to_pylist()
+
+    def url_at(i: int) -> str:
+        d, p = divmod(i, ppd)
+        return f"http://{sources[d]}.example.com/doc/{doc_ids[d]}/{p}"
+
+    num_seeds = max(64, n_pages // 50)
+    stepi = max(1, n_pages // num_seeds)
+    seeds = [
+        {"url": url_at(i), "type": "page", "policy": "default",
+         "queue": "normal"}
+        for i in range(0, n_pages, stepi)
+    ]
+
+    num_shards = max(4, NUM_CPUS // 4)
+    reserve = max(1, NUM_CPUS // 8)
+    workers = max(2, NUM_CPUS - reserve - 1)
+    state = tempfile.mkdtemp(prefix="raycrawl_bench_big_")
+    cfg = CrawlConfig(
+        state_dir=state,
+        mode="ray",
+        ray_exec="pull",
+        num_shards=num_shards,
+        epoch_budget=max(100_000, n_pages),
+        fetch_concurrency=workers,
+        fetch_batch_size=4096,
+        reserve_cores=reserve,
+        seen_filter="bloom",
+        seen_capacity=max(1_000_000, n_pages * 4 // num_shards),
+    )
+    t_build0 = time.perf_counter()
+    engine = CrawlEngine(out_dir, cfg)
+    build_sec = time.perf_counter() - t_build0
+
+    # live memory sampler: max PSS (proportional — shared plasma mmaps
+    # divided across mappers) and RSS per fetch worker + the driver
+    pids = dict(engine._worker_pids)
+    pids["driver"] = os.getpid()
+    peak = {k: {"pss_mb": 0.0, "rss_mb": 0.0} for k in pids}
+    stop = threading.Event()
+
+    def _sample() -> None:
+        while not stop.is_set():
+            for k, pid in pids.items():
+                try:
+                    with open(f"/proc/{pid}/smaps_rollup") as f:
+                        for line in f:
+                            if line.startswith("Pss:"):
+                                peak[k]["pss_mb"] = max(
+                                    peak[k]["pss_mb"],
+                                    int(line.split()[1]) / 1024,
+                                )
+                            elif line.startswith("Rss:"):
+                                peak[k]["rss_mb"] = max(
+                                    peak[k]["rss_mb"],
+                                    int(line.split()[1]) / 1024,
+                                )
+                except OSError:
+                    pass
+            stop.wait(2.0)
+
+    sampler = threading.Thread(target=_sample, daemon=True)
+    sampler.start()
+    t0 = time.perf_counter()
+    result = engine.run(seeds=seeds)
+    wall = time.perf_counter() - t0
+    stop.set()
+    sampler.join(timeout=5)
+    crawled = result.docs_written + result.deadlettered
+    handle = engine.corpus_handle
+    worker_peaks = [
+        v for k, v in peak.items() if k != "driver" and v["rss_mb"] > 0
+    ]
+    engine.close()
+    shutil.rmtree(state, ignore_errors=True)
+    out = {
+        "metric": "bigcorpus_crawl_wall_sec",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages": n_pages,
+        "pages_per_doc": ppd,
+        "corpus_files": len(files),
+        "corpus_disk_gb": round(disk_bytes / 1e9, 2),
+        "corpus_shards": handle.num_shards,
+        "shard_build_sec": round(build_sec, 2),
+        "urls_crawled": crawled,
+        "urls_per_sec": round(crawled / wall, 1),
+        "driver_peak_rss_mb": round(peak["driver"]["rss_mb"], 1),
+        "driver_peak_pss_mb": round(peak["driver"]["pss_mb"], 1),
+        "worker_peak_rss_mb_max": round(
+            max((v["rss_mb"] for v in worker_peaks), default=0.0), 1
+        ),
+        "worker_peak_pss_mb_max": round(
+            max((v["pss_mb"] for v in worker_peaks), default=0.0), 1
+        ),
+        "window_ceiling": _window_ceiling(),
+    }
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--bigcorpus" in sys.argv:
+        print(json.dumps(run_bigcorpus()))
     else:
         print(json.dumps(run_bench()))

@@ -22,6 +22,7 @@ Two corpora, both fully seeded (no wall-clock, no unseeded randomness):
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
 import pyarrow as pa
@@ -219,6 +220,142 @@ def _build_pages_chunk(span: tuple[int, int]) -> pa.Table:
     )
 
 
+def _prepare_pages_ctx(
+    docs: pa.Table,
+    *,
+    pages_per_doc: int,
+    out_degree: int,
+    seed: int,
+    dangling_frac: float,
+    variant_frac: float,
+) -> int:
+    """All rng draws for a pages corpus, up front, into `_CHUNK_CTX`
+    (shared by `corpus_from_documents` and `write_pages_corpus_dir`).
+    Returns the total page count.
+
+    Link-target popularity ~ zipf over page index mixed with a uniform
+    floor (graph model v2). Pure zipf left ~42% of a 3M-page corpus
+    with expected in-degree < 1 — unreachable from any seed set — and a
+    BFS tail of ~15 levels holding <2k urls each, so the sandbox
+    benchmark measured per-level RPC latency instead of throughput.
+    Real web frontiers have hub skew AND a fat body: the 80/20
+    zipf/uniform mixture keeps hot hubs (max in-degree ~10^5 at 3M
+    pages) while giving every page in-degree >= ~1.6 expected, which is
+    what a 10^10-URL frontier's per-level population looks like. The
+    per-variant-link `kind` draws are a single vectorized
+    `integers(0, 4, size=variant.sum())`, which NumPy guarantees
+    consumes the PCG64 stream identically to the old per-link scalar
+    draws. Seeded + deterministic."""
+    global _CHUNK_CTX
+    rng = np.random.default_rng(seed)
+    doc_ids = docs.column("doc_id").to_pylist()
+    texts = docs.column("text").to_pylist()
+    langs = docs.column("lang").to_pylist()
+    sources = docs.column("source").to_pylist()
+    n = len(doc_ids) * pages_per_doc
+    w = 1.0 / (np.arange(n) + 1.0)
+    w /= w.sum()
+    w = 0.8 * w + 0.2 / n
+    targets = rng.choice(n, size=(n, out_degree), p=w)
+    dangle = rng.random((n, out_degree)) < dangling_frac
+    variant = rng.random((n, out_degree)) < variant_frac
+    # kinds land on variant-AND-NOT-dangling cells in row-major order —
+    # exactly the cells (and the order) the old loop consumed scalar
+    # draws in: dangling links `continue` before the variant branch
+    draws = variant & ~dangle
+    kind_at = np.full((n, out_degree), -1, dtype=np.int8)
+    kind_at[draws] = rng.integers(
+        0, 4, size=int(draws.sum())
+    ).astype(np.int8)
+    _CHUNK_CTX = (pages_per_doc, doc_ids, texts, langs, sources,
+                  targets, dangle, variant, kind_at)
+    return n
+
+
+def _write_pages_file(job: tuple) -> str:
+    """Pool worker for `write_pages_corpus_dir`: build span [lo, hi) in
+    bounded sub-chunks and stream them as row groups of ONE parquet
+    file — peak worker memory is `step` rows, never the whole span."""
+    (lo, hi), step, path = job
+    if os.path.exists(path):
+        return path
+    import pyarrow.parquet as pq
+
+    tmp = f"{path}.tmp{os.getpid()}"
+    writer = None
+    try:
+        for a in range(lo, hi, step):
+            part = _build_pages_chunk((a, min(a + step, hi)))
+            if writer is None:
+                writer = pq.ParquetWriter(tmp, part.schema)
+            writer.write_table(part)
+    finally:
+        if writer is not None:
+            writer.close()
+    os.replace(tmp, path)
+    return path
+
+
+def write_pages_corpus_dir(
+    docs: pa.Table,
+    out_dir: str,
+    *,
+    pages_per_doc: int = 1,
+    out_degree: int = 8,
+    seed: int = 42,
+    dangling_frac: float = 0.02,
+    variant_frac: float = 0.05,
+    rows_per_file: int = 1_500_000,
+    processes: int | None = None,
+) -> list[str]:
+    """The SAME corpus as `corpus_from_documents` (same seed ⇒ same
+    rows in the same order), STREAMED to one parquet file per
+    `rows_per_file` span — the larger-than-memory path: no process ever
+    holds more than a sub-chunk of rows, and the crawl consumes the
+    directory via the sharded-corpus path-source (the driver never
+    reads a single page). Idempotent per file (reruns skip existing
+    files), so a killed generation resumes."""
+    global _CHUNK_CTX
+    n = _prepare_pages_ctx(
+        docs,
+        pages_per_doc=pages_per_doc,
+        out_degree=out_degree,
+        seed=seed,
+        dangling_frac=dangling_frac,
+        variant_frac=variant_frac,
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    step = min(200_000, rows_per_file)  # sub-chunk rows per row group
+    jobs = [
+        (
+            (lo, min(lo + rows_per_file, n)),
+            step,
+            os.path.join(out_dir, f"pages-{i:05d}.parquet"),
+        )
+        for i, lo in enumerate(range(0, n, rows_per_file))
+    ]
+    try:
+        if processes is not None:
+            n_proc = processes
+        else:
+            try:
+                n_proc = len(os.sched_getaffinity(0))
+            except (AttributeError, OSError):  # pragma: no cover
+                n_proc = os.cpu_count() or 4
+        n_proc = max(1, min(n_proc, 32, len(jobs)))
+        if n_proc == 1:
+            for j in jobs:
+                _write_pages_file(j)
+        else:
+            import multiprocessing
+
+            with multiprocessing.get_context("fork").Pool(n_proc) as pool:
+                pool.map(_write_pages_file, jobs)
+    finally:
+        _CHUNK_CTX = None
+    return [p for _, _, p in jobs]
+
+
 def corpus_from_documents(
     docs: pa.Table,
     *,
@@ -244,42 +381,15 @@ def corpus_from_documents(
     ~7-minute single-core loop; chunks also bound peak Python-object
     memory (each worker materializes ~n/chunks rows, the parent only
     holds Arrow tables)."""
-    rng = np.random.default_rng(seed)
-    doc_ids = docs.column("doc_id").to_pylist()
-    texts = docs.column("text").to_pylist()
-    langs = docs.column("lang").to_pylist()
-    sources = docs.column("source").to_pylist()
-    n_docs = len(doc_ids)
-    n = n_docs * pages_per_doc
-
-    # skew: link-target popularity ~ zipf over page index, mixed with a
-    # uniform floor (graph model v2). Pure zipf left ~42% of a 3M-page
-    # corpus with expected in-degree < 1 — unreachable from any seed
-    # set — and a BFS tail of ~15 levels holding <2k urls each, so the
-    # sandbox benchmark measured per-level RPC latency instead of
-    # throughput. Real web frontiers have hub skew AND a fat body: the
-    # 80/20 zipf/uniform mixture keeps hot hubs (max in-degree ~10^5 at
-    # 3M pages) while giving every page in-degree >= ~1.6 expected,
-    # which is what a 10^10-URL frontier's per-level population looks
-    # like. Seeded + deterministic as before.
-    w = 1.0 / (np.arange(n) + 1.0)
-    w /= w.sum()
-    w = 0.8 * w + 0.2 / n
-    targets = rng.choice(n, size=(n, out_degree), p=w)
-    dangle = rng.random((n, out_degree)) < dangling_frac
-    variant = rng.random((n, out_degree)) < variant_frac
-    # kinds land on variant-AND-NOT-dangling cells in row-major order —
-    # exactly the cells (and the order) the old loop consumed scalar
-    # draws in: dangling links `continue` before the variant branch
-    draws = variant & ~dangle
-    kind_at = np.full((n, out_degree), -1, dtype=np.int8)
-    kind_at[draws] = rng.integers(
-        0, 4, size=int(draws.sum())
-    ).astype(np.int8)
-
+    n = _prepare_pages_ctx(
+        docs,
+        pages_per_doc=pages_per_doc,
+        out_degree=out_degree,
+        seed=seed,
+        dangling_frac=dangling_frac,
+        variant_frac=variant_frac,
+    )
     global _CHUNK_CTX
-    _CHUNK_CTX = (pages_per_doc, doc_ids, texts, langs, sources,
-                  targets, dangle, variant, kind_at)
     try:
         import os
 

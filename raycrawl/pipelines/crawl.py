@@ -156,6 +156,17 @@ class CrawlConfig:
     # deltas like set_track_host_cost) reverts to constructor values on
     # restart. 0 = fail fast (round-2 behavior).
     worker_max_restarts: int = 2
+    # simulated-network corpus sharding (stages/corpus_shards.py):
+    # number of url_hash-range shards (rounded up to a power of two);
+    # 0 = auto (~1 shard per 512 MB of raw corpus). Only the default
+    # ray path shards; local mode and injected fetchers keep the plain
+    # (table, index) pair.
+    corpus_shards: int = 0
+    # max corpus shards a fetch worker keeps pinned at once (LRU);
+    # None = unbounded (single node: every resolve is a zero-copy
+    # plasma mmap, so "all shards" costs address space, not heap).
+    # Set on a real cluster to bound per-node corpus footprint.
+    corpus_max_resident: int | None = None
     snapshot_id: str = "s0"
     base_ts_us: int = BASE_TS_US + 86_400_000_000  # crawl clock: corpus ts + 1d
 
@@ -308,19 +319,48 @@ class NodeDispatcher:
 
 
 class CrawlEngine:
-    def __init__(self, corpus: pa.Table, cfg: CrawlConfig) -> None:
+    def __init__(self, corpus, cfg: CrawlConfig) -> None:
+        """``corpus``: the simulated network — a pa.Table, or (ray
+        default path only) a parquet path/dir/list so a corpus larger
+        than driver memory never materializes anywhere whole."""
         self.cfg = cfg
-        corpus = prepare_corpus(corpus)  # large_binary html, one chunk
-        self.corpus = corpus
         os.makedirs(cfg.state_dir, exist_ok=True)
         self.docs_dir = os.path.join(cfg.state_dir, "documents")
         self.dead_dir = os.path.join(cfg.state_dir, "deadletters")
         os.makedirs(self.docs_dir, exist_ok=True)
         os.makedirs(self.dead_dir, exist_ok=True)
-        index = build_fetch_index(corpus)
-        # kept for crash recovery: resume_crawl distinguishes corpus-
-        # backed suspect docs from payload-backed (event) ones
-        self._fetch_index = index
+        # Default ray path: url_hash-range-SHARDED corpus (round-4
+        # verdict item 1) — per-shard tables + indexes built by a
+        # distributed task wave, resolved on demand by the workers; the
+        # driver holds only ObjectRefs. The single-broadcast path
+        # survives for mode='local' (one process, nothing to broadcast)
+        # and for injected fetcher_cls (instrumented test fetchers take
+        # a plain (table, index) — and a REAL injected fetcher is the
+        # network itself, lib/crawlerFactory.js:240-262, needing no
+        # corpus at all).
+        sharded = cfg.mode == "ray" and cfg.fetcher_cls is None
+        self.corpus_handle = None
+        robots_rows = None
+        index = None
+        self._fetch_index = None
+        if sharded:
+            from ..stages.corpus_shards import build_sharded_corpus
+
+            self.corpus = corpus if isinstance(corpus, pa.Table) else None
+            self.corpus_handle, robots_rows = build_sharded_corpus(
+                corpus,
+                cfg.corpus_shards,
+                max_resident=cfg.corpus_max_resident,
+            )
+        else:
+            corpus = prepare_corpus(corpus)  # large_binary html, 1 chunk
+            self.corpus = corpus
+            index = build_fetch_index(corpus)
+            # kept for crash recovery: resume_crawl distinguishes
+            # corpus-backed suspect docs from payload-backed (event)
+            # ones (the sharded path probes shard indexes instead —
+            # corpus_membership())
+            self._fetch_index = index
         self.politeness = PolitenessPolicy(
             host_rate_per_sec=cfg.host_rate_per_sec,
             epoch_seconds=cfg.epoch_seconds,
@@ -330,8 +370,10 @@ class CrawlEngine:
         if cfg.respect_robots:
             from ..state.politeness import parse_robots
 
-            mask = pc.ends_with(corpus.column("url"), "/robots.txt")
-            rows = corpus.filter(mask)
+            if robots_rows is None:
+                mask = pc.ends_with(corpus.column("url"), "/robots.txt")
+                robots_rows = corpus.filter(mask)
+            rows = robots_rows
             for url, body in zip(
                 rows.column("url").to_pylist(),
                 rows.column("html").to_pylist(),
@@ -396,10 +438,17 @@ class CrawlEngine:
         if cfg.mode == "ray":
             import ray
 
-            # prepared ONCE above so per-actor TableFetcher wrapping is
-            # zero-copy instead of a per-actor concatenation/cast
-            self.corpus_ref = ray.put(corpus)
-            self.index_ref = ray.put(index)
+            if self.corpus_handle is not None:
+                # sharded path: workers receive the handle (refs only)
+                # and resolve shards lazily inside the fetcher
+                self.corpus_ref = self.corpus_handle
+                self.index_ref = None
+            else:
+                # injected-fetcher path: prepared ONCE above so
+                # per-actor fetcher wrapping is zero-copy instead of a
+                # per-actor concatenation/cast
+                self.corpus_ref = ray.put(corpus)
+                self.index_ref = ray.put(index)
             self.shards = create_shards(
                 cfg.num_shards,
                 seen_kind=cfg.seen_filter,
@@ -514,6 +563,17 @@ class CrawlEngine:
             token_traits=cfg.token_traits,
             token_seed=wi,
         )
+
+    def corpus_membership(self, digests: list[bytes]) -> np.ndarray:
+        """Found-mask: is each url-hash digest fetchable from the
+        corpus? Crash recovery's suspect-doc classification. Sharded
+        path: per-shard INDEX probes (bodies never move); legacy paths:
+        the driver-held whole-corpus index."""
+        if self.corpus_handle is not None:
+            return self.corpus_handle.membership(digests)
+        from ..stages.fetch import index_lookup
+
+        return index_lookup(self._fetch_index, digests)[0]
 
     def close(self) -> None:
         """Tear down the actor pools deterministically. Two live ray
@@ -2122,10 +2182,8 @@ def resume_crawl(corpus: pa.Table, cfg: CrawlConfig) -> CrawlResult:
         # spool persists their payload body, so suspect rows ABSENT from
         # the corpus re-offer with payload_body (zero-fetch) + stored
         # etag: the 304 path re-traverses their children identically.
-        from ..stages.fetch import index_lookup
-
-        in_corpus, _ = index_lookup(
-            engine._fetch_index, suspect.column("url_hash").to_pylist()
+        in_corpus = engine.corpus_membership(
+            suspect.column("url_hash").to_pylist()
         )
         specs = [
             {

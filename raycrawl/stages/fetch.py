@@ -58,10 +58,27 @@ HOSTCOST_TYPE = "__hostcost__"  # per-host fetched-bytes rows (T6)
 def build_fetch_index(corpus: pa.Table) -> dict[str, np.ndarray]:
     """One-time (per run) index over the corpus: canonical-url SHA-1 →
     row number. Pure numpy arrays (~28 B/row) so broadcast + per-actor
-    deserialization is near-zero-cost. At 10^10 pages this step runs as
-    a distributed map_batches + per-shard index instead (the corpus
-    would not be a single in-memory table)."""
+    deserialization is near-zero-cost. This whole-table variant serves
+    the local mode and the instrumented-fetcher injection path; the
+    production ray path builds ONE SUCH INDEX PER RANGE SHARD inside a
+    distributed task wave (stages/corpus_shards.py) — the corpus is
+    never a single in-memory table there."""
     _, digests, _ = canonicalize_batch(corpus.column("url").to_pylist())
+    return build_fetch_index_from_digests(digests)
+
+
+def build_fetch_index_from_digests(
+    digests: list[bytes],
+) -> dict[str, np.ndarray]:
+    """Index from precomputed canonical-url digests (row i holds the
+    digest of corpus row i): h64-sorted prefix array + 12-byte tails +
+    row numbers."""
+    if not digests:
+        return {
+            "h64": np.empty(0, dtype=np.uint64),
+            "tail": np.empty((0, 12), dtype=np.uint8),
+            "row": np.empty(0, dtype=np.int64),
+        }
     raw = np.frombuffer(b"".join(digests), dtype=np.uint8).reshape(-1, 20)
     h64 = raw[:, :8].copy().view(np.dtype("<u8")).reshape(-1)
     tail = raw[:, 8:].copy()
@@ -110,11 +127,23 @@ def index_lookup(
     THE single definition of "is this url in the corpus" — the fetch
     path (TableFetcher.lookup) and crash recovery's suspect-doc
     classification (resume_crawl) must never diverge on it."""
-    h64_arr, tail_arr, row = index["h64"], index["tail"], index["row"]
     n = len(digests)
-    if not n or not len(h64_arr):
+    if not n or not len(index["h64"]):
         return np.zeros(n, dtype=bool), np.zeros(n, dtype=np.int64)
     h64, tail = _digests_to_h64_tail(digests)
+    return index_lookup_arrays(index, h64, tail)
+
+
+def index_lookup_arrays(
+    index: dict[str, np.ndarray], h64: np.ndarray, tail: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """`index_lookup` body over pre-split (h64, tail) arrays — shared
+    with the per-shard probes in stages/corpus_shards.py, which route
+    a batch by h64 range and must not re-split the digests."""
+    h64_arr, tail_arr, row = index["h64"], index["tail"], index["row"]
+    n = len(h64)
+    if not n or not len(h64_arr):
+        return np.zeros(n, dtype=bool), np.zeros(n, dtype=np.int64)
     pos = np.searchsorted(h64_arr, h64)
     clip = np.minimum(pos, len(h64_arr) - 1)
     found = (
@@ -231,7 +260,14 @@ class CrawlWorkerStage:
         # component injection (reference X3, lib/crawlerFactory.js:168-179
         # + the fetcher swap in test/unit/processingTests.js:93-109): any
         # class with the TableFetcher interface (lookup/body/lang/
-        # fetched_at) — e.g. an HTTP fetcher in a real deployment
+        # fetched_at) — e.g. an HTTP fetcher in a real deployment.
+        # A ShardedCorpus handle (the production ray path) selects the
+        # sharded fetcher: shards resolve lazily from plasma in lookup,
+        # never here, so worker __init__ stays O(1) in corpus size.
+        if fetcher_cls is None and hasattr(corpus, "table_refs"):
+            from .corpus_shards import ShardedTableFetcher
+
+            fetcher_cls = ShardedTableFetcher
         self.fetcher = (fetcher_cls or TableFetcher)(corpus, index)
         # A7 latency contract: a fetcher that measures real wall time
         # (an HTTP fetcher in a real deployment) exposes

@@ -190,3 +190,39 @@ def _sidecar_worker(sf: str) -> str:
     from raycrawl.pipelines.flagship import ensure_oracle_sidecars
 
     return ensure_oracle_sidecars(sf)
+
+
+def test_write_pages_corpus_dir_matches_in_memory(tmp_path):
+    """The streamed dir writer (larger-than-memory corpus path) must
+    produce BYTE-IDENTICAL rows in the same order as the in-memory
+    builder at the same seed — per-file spans and row-group sub-chunks
+    are pure layout."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raycrawl.corpus import corpus_from_documents, write_pages_corpus_dir
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(30), pa.int64()),
+            "text": pa.array(
+                [f"text {i} about crawling frontiers" for i in range(30)]
+            ),
+            "lang": pa.array(["en"] * 30),
+            "source": pa.array([f"src{i % 3}" for i in range(30)]),
+        }
+    )
+    mem = corpus_from_documents(docs, pages_per_doc=40, seed=9)
+    files = write_pages_corpus_dir(
+        docs, str(tmp_path / "pages"), pages_per_doc=40, seed=9,
+        rows_per_file=500,
+    )
+    assert len(files) == 3
+    disk = pa.concat_tables([pq.read_table(f) for f in files])
+    assert mem.equals(disk)
+    # idempotent: a rerun skips existing files, same result
+    files2 = write_pages_corpus_dir(
+        docs, str(tmp_path / "pages"), pages_per_doc=40, seed=9,
+        rows_per_file=500,
+    )
+    assert files2 == files
