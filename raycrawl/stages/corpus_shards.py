@@ -249,7 +249,11 @@ def build_sharded_corpus(
             )
         else:
             pieces = [source]
-        total_bytes = sum(os.path.getsize(p) for p in pieces) * 3
+        # parquet→Arrow inflation: the 20M-page bench corpus measured
+        # 2.81 GB on disk vs 25.7 GB in memory (snappy html compresses
+        # ~9x); undersizing shards makes them coarser than the 512 MB
+        # eviction/transfer granularity target
+        total_bytes = sum(os.path.getsize(p) for p in pieces) * 9
         num_rows = sum(
             pq.ParquetFile(p).metadata.num_rows for p in pieces
         )
@@ -257,7 +261,11 @@ def build_sharded_corpus(
         import os
 
         pieces = list(source)
-        total_bytes = sum(os.path.getsize(p) for p in pieces) * 3
+        # parquet→Arrow inflation: the 20M-page bench corpus measured
+        # 2.81 GB on disk vs 25.7 GB in memory (snappy html compresses
+        # ~9x); undersizing shards makes them coarser than the 512 MB
+        # eviction/transfer granularity target
+        total_bytes = sum(os.path.getsize(p) for p in pieces) * 9
         num_rows = sum(
             pq.ParquetFile(p).metadata.num_rows for p in pieces
         )

@@ -816,12 +816,13 @@ class CrawlWorkerStage:
         payload_bodies = batch.column("payload_body").to_pylist()
         url_hashes = batch.column("url_hash").to_pylist()
 
-        found, idxs = self.fetcher.lookup(url_hashes)
         # rows carrying an embedded payload body never fetch: the
         # reference marks event payloads pre-fetched with etag=1 so the
         # fetcher skips the GET (lib/crawlerFactory.js:670). Masking
-        # `found` here keeps them out of the bodies() materialization —
-        # zero corpus reads for pushed events.
+        # `found` keeps them out of the bodies() materialization —
+        # zero corpus/wire reads for pushed events. Computed BEFORE the
+        # lookup so a url-addressed fetcher (real HTTP) can skip the
+        # GET itself, not just the materialization.
         has_payload = None
         if any(payload_bodies):
             has_payload = np.fromiter(
@@ -829,6 +830,15 @@ class CrawlWorkerStage:
                 dtype=bool,
                 count=len(payload_bodies),
             )
+        if getattr(self.fetcher, "wants_urls", False):
+            # url-addressed fetcher (sources/httpfetch.py): the wire is
+            # the source of truth — fetches by URL over real sockets
+            found, idxs = self.fetcher.lookup_urls(
+                urls, url_hashes, skip=has_payload
+            )
+        else:
+            found, idxs = self.fetcher.lookup(url_hashes)
+        if has_payload is not None:
             found = found & ~has_payload
         # batch-materialize the found bodies in ONE Arrow take + pylist
         # pass instead of per-row __getitem__/.as_py() calls
