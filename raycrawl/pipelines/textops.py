@@ -830,6 +830,20 @@ def ngram_jaccard_topk(sf_dir: str, k: int = 3, sample: int = 32):
 
 _KNN_QUERIES = 5
 _KNN_K = 10
+# ANN operating points — set from the measured recall/cost frontier
+# (tools/ann_sweep.py over the isotropic-Gaussian test embeddings, the
+# adversarial no-cluster-structure case; full table in BASELINE.md).
+# LSH 8 planes x 32 tables x multiprobe 2: recall@10 0.86 at 34% of
+# the corpus scanned (round-4 point 8x16x3 measured 0.69 at 25%).
+# IVF nlist 16 x nprobe 8: recall@10 0.79 at 50% scanned — on
+# isotropic data IVF recall tracks the scan line (nothing to cluster),
+# so past this point it degenerates into brute force; real embedding
+# corpora with cluster structure sit far above that line.
+_LSH_PLANES = 8
+_LSH_TABLES = 32
+_LSH_PROBE = 2
+_IVF_LISTS = 16
+_IVF_PROBE = 8
 
 
 @query(
@@ -920,13 +934,16 @@ def _knn_lsh_oracle_sql() -> str:
     the minhash-oracle pattern). The SQL independently reproduces the
     whole approximate pipeline: sign-bit bucket codes per table
     (projection > 0, weight 1<<plane), the query's multiprobe set
-    (base code plus the 3 lowest-|margin| single-bit flips — XOR in
-    SQL), the candidate union across 16 tables, and the exact cosine
+    (base code plus the lowest-|margin| single-bit flips — XOR in
+    SQL), the candidate union across the tables, and the exact cosine
     top-k over candidates with (score DESC, id ASC) ties. Projections
     use the raw DOUBLE embeddings — bucket bits and margin order are
     scale-invariant, so normalization (a no-op for signs) is skipped
     on both sides. dim is baked at 64 (all testdata scales)."""
-    index = LshIndex(_EMB_DIM_ORACLE, num_planes=8, seed=11, num_tables=16)
+    index = LshIndex(
+        _EMB_DIM_ORACLE, num_planes=_LSH_PLANES, seed=11,
+        num_tables=_LSH_TABLES,
+    )
     vals = _lsh_planes_sql_values(index.planes)
     return f"""
     WITH planes(tbl, pl, vec) AS (VALUES {vals}),
@@ -954,7 +971,8 @@ def _knn_lsh_oracle_sql() -> str:
       SELECT qid, tbl, code FROM qcode
       UNION
       SELECT f.qid, f.tbl, xor(c.code, CAST(1 << f.pl AS BIGINT))
-      FROM qflip f JOIN qcode c USING (qid, tbl) WHERE f.rk <= 3
+      FROM qflip f JOIN qcode c USING (qid, tbl)
+      WHERE f.rk <= {_LSH_PROBE}
     ),
     cand AS (
       SELECT DISTINCT pr.qid, c.vec_id
@@ -975,8 +993,8 @@ def _knn_lsh_oracle_sql() -> str:
 def _knn_ivf_oracle_sql(
     n_train: int = _IVF_TRAIN_N_ORACLE,
     iters: int = 3,
-    num_lists: int = 16,
-    nprobe: int = 4,
+    num_lists: int = _IVF_LISTS,
+    nprobe: int = _IVF_PROBE,
 ) -> str:
     """Exact DuckDB twin of knn_ivf — the seeded k-means TRAINING is
     itself unrolled in SQL (``iters`` Lloyd steps as CTE chain), so the
@@ -1057,14 +1075,14 @@ def knn_lsh(sf_dir: str):
     """LSH-bucketed ANN (the scale path): bucket codes per batch, search
     only matching buckets with multiprobe.
 
-    Knobs (8 planes x 16 tables, multiprobe=3) are set from a measured
-    sweep on the test embeddings (isotropic Gaussian — the hardest case
-    for LSH, no cluster structure): recall 0.60 vs brute force while
-    scanning ~25% of candidates; fewer planes or more probes push
-    recall toward 1.0 only by degenerating into a full scan. The 0.5
-    recall floor is asserted in tests/test_textops.py; the result is
-    additionally hash-checked against _knn_lsh_oracle_sql's full SQL
-    reproduction of the bucketing/multiprobe/scoring chain."""
+    Knobs (_LSH_PLANES x _LSH_TABLES, multiprobe=_LSH_PROBE) sit on the
+    measured recall/cost frontier (tools/ann_sweep.py; table in
+    BASELINE.md) for the test embeddings (isotropic Gaussian — the
+    hardest case for LSH, no cluster structure): recall@10 0.86 vs
+    brute force while scanning ~34% of candidates. The recall floor is
+    asserted in tests/test_textops.py; the result is additionally
+    hash-checked against _knn_lsh_oracle_sql's full SQL reproduction
+    of the bucketing/multiprobe/scoring chain."""
     import ray
 
     head = pq.read_table(
@@ -1074,9 +1092,11 @@ def knn_lsh(sf_dir: str):
     q_ids = qt.column("vec_id").to_numpy()
     q_vecs = as_matrix(qt.column("embedding"))
     dim = q_vecs.shape[1]
-    index = LshIndex(dim, num_planes=8, seed=11, num_tables=16)
+    index = LshIndex(
+        dim, num_planes=_LSH_PLANES, seed=11, num_tables=_LSH_TABLES
+    )
     probe_sets = [
-        index.probe_codes(q_vecs[i], multiprobe=3)
+        index.probe_codes(q_vecs[i], multiprobe=_LSH_PROBE)
         for i in range(len(q_ids))
     ]
     q_ref = ray.put((q_ids, q_vecs, probe_sets))
@@ -1085,7 +1105,9 @@ def knn_lsh(sf_dir: str):
         # task pool (see knn_cosine): per-task setup is a zero-copy
         # plasma get + a ~50 us seeded plane rebuild
         b_qids, b_qvecs, probes = ray.get(q_ref)
-        b_index = LshIndex(dim, num_planes=8, seed=11, num_tables=16)
+        b_index = LshIndex(
+            dim, num_planes=_LSH_PLANES, seed=11, num_tables=_LSH_TABLES
+        )
         ids = t.column("vec_id").to_numpy()
         vecs = as_matrix(t.column("embedding"))
         codes = b_index.codes(vecs)
@@ -1157,9 +1179,11 @@ def knn_ivf(sf_dir: str):
     q_ids = qt.column("vec_id").to_numpy()
     q_vecs = as_matrix(qt.column("embedding"))
     # train on a seeded deterministic sample (first 2048 rows)
-    index = IvfIndex(all_vecs[:2048], num_lists=16, iters=3, seed=11)
+    index = IvfIndex(
+        all_vecs[:2048], num_lists=_IVF_LISTS, iters=3, seed=11
+    )
     probes = [
-        set(index.probe_lists(q_vecs[i], nprobe=4).tolist())
+        set(index.probe_lists(q_vecs[i], nprobe=_IVF_PROBE).tolist())
         for i in range(len(q_ids))
     ]
     q_ref = ray.put((q_ids, q_vecs, probes, index.centroids))

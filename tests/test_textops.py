@@ -149,10 +149,11 @@ def test_knn_lsh_recall_vs_bruteforce(ray_session):
     exact_set = set(zip(exact["query_id"], exact["neighbor_id"]))
     approx_set = set(zip(approx["query_id"], approx["neighbor_id"]))
     recall = len(exact_set & approx_set) / len(exact_set)
-    # 8 planes x 16 tables, multiprobe=3: measured 0.60 on the
-    # (isotropic, clusterless) test embeddings while scanning ~25% of
-    # candidates — see the knob sweep note in textops.knn_lsh
-    assert recall >= 0.5, recall
+    # 8 planes x 32 tables, multiprobe=2 (the measured frontier point,
+    # tools/ann_sweep.py / BASELINE.md): deterministic 0.76 on the
+    # suite's 5 queries over the (isotropic, clusterless) embeddings
+    # while scanning ~34% of candidates
+    assert recall >= 0.7, recall
 
 
 def test_embedding_near_dup_lsh_recall_and_precision(ray_session):
@@ -242,9 +243,11 @@ def test_knn_ivf_recall_vs_bruteforce(ray_session):
     exact_set = set(zip(exact["query_id"], exact["neighbor_id"]))
     approx_set = set(zip(approx["query_id"], approx["neighbor_id"]))
     recall = len(exact_set & approx_set) / len(exact_set)
-    # deterministic (seeded k-means, fixed corpus): measures 0.58 at
-    # nprobe 4 of 16 lists; floor set just under the operating point
-    assert recall >= 0.5, recall
+    # deterministic (seeded k-means, fixed corpus): measures 0.82 at
+    # nprobe 8 of 16 lists (the frontier point, tools/ann_sweep.py —
+    # on isotropic data IVF recall tracks the scanned fraction, so
+    # this is the knee before degenerating into a full scan)
+    assert recall >= 0.7, recall
 
 
 def test_minhash_hot_bucket_bounded(ray_session, tmp_path):
