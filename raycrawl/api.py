@@ -243,6 +243,53 @@ def latest_documents(state_dir: str) -> pa.Table:
     return table.filter(pa.array(keep))
 
 
+# -- metrics surface (routes/status.js + the dashboard's live counters) -----
+
+
+def metrics_series(
+    state_dir: str,
+    metric: str,
+    t0: int | None = None,
+    t1: int | None = None,
+) -> pa.Table:
+    """Per-second time series of one counter from a finished (or
+    checkpointed) crawl's metrics table — the queryable analogue of the
+    reference dashboard's live redis-metrics buckets
+    (timeGranularity 'second', lib/crawlerFactory.js:264-277; served
+    via routes/status.js:10-20). Returns (second, value) rows in
+    [t0, t1] (epoch-second bounds, inclusive; None = open), sorted by
+    second. Unknown metrics yield an empty series."""
+    path = os.path.join(state_dir, "metrics.parquet")
+    if not os.path.exists(path):
+        return pa.table(
+            {"second": pa.array([], pa.int64()),
+             "value": pa.array([], pa.int64())}
+        )
+    t = pq.read_table(path, columns=["name", "second", "value"])
+    mask = pc.equal(t.column("name"), f"sec:{metric}")
+    if t0 is not None:
+        mask = pc.and_(mask, pc.greater_equal(t.column("second"), t0))
+    if t1 is not None:
+        mask = pc.and_(mask, pc.less_equal(t.column("second"), t1))
+    out = t.filter(mask).select(["second", "value"])
+    return out.take(pc.sort_indices(out, sort_keys=[("second", "ascending")]))
+
+
+def trace_log(state_dir: str, event: str | None = None) -> pa.Table:
+    """Lifecycle trace rows (mockInsights trackTrace/trackEvent
+    analogue, providers/logger/mockInsights.js:20-60) from a crawl's
+    state_dir, optionally filtered by event name, in emission order."""
+    from .schemas import TRACE_SCHEMA
+
+    path = os.path.join(state_dir, "trace.parquet")
+    if not os.path.exists(path):
+        return TRACE_SCHEMA.empty_table()
+    t = pq.read_table(path)
+    if event is not None:
+        t = t.filter(pc.equal(t.column("event"), event))
+    return t
+
+
 # -- deadletter surface (routes/deadletters.js) -----------------------------
 
 

@@ -428,6 +428,13 @@ class CrawlEngine:
         self._route_refs: list = []     # pull mode: in-flight requeue RPCs
         self._dead_tables: list[pa.Table] = []  # pull mode: deadletter buffer
         self._metrics_rows: list[dict] = []
+        # lifecycle event log: append to any prior engine's trace on
+        # this state_dir (resume/recrawl post-mortems see the events of
+        # the run that died, like the reference's persistent insights)
+        self._trace_rows: list[dict] = []
+        trace_path = os.path.join(cfg.state_dir, "trace.parquet")
+        if os.path.exists(trace_path):
+            self._trace_rows = pq.read_table(trace_path).to_pylist()
         # (name, wall second) -> count; see _absorb_persec
         self._persec: dict[tuple[str, int], int] = {}
         self._lineage_rows: list[dict] = []
@@ -518,6 +525,47 @@ class CrawlEngine:
                 token_call_window_sec=cfg.token_call_window_sec,
                 token_traits=cfg.token_traits,
             )
+        self._trace(
+            "engine_start",
+            mode=cfg.mode,
+            ray_exec=cfg.ray_exec if cfg.mode == "ray" else "",
+            num_shards=cfg.num_shards,
+            workers=len(getattr(self, "workers", []) or []),
+            corpus_shards=(
+                self.corpus_handle.num_shards if self.corpus_handle else 0
+            ),
+            snapshot_id=cfg.snapshot_id,
+        )
+
+    def _trace(self, event: str, **detail) -> None:
+        """Trace-level lifecycle event (reference mockInsights
+        trackTrace/trackEvent, providers/logger/mockInsights.js:20-60):
+        buffered on the driver, persisted to state_dir/trace.parquet
+        with every metrics flush and at abort time — so a post-mortem
+        of a dead crawl sees the events leading up to the failure."""
+        import json as _json
+        import time as _time
+
+        self._trace_rows.append(
+            {
+                "ts_us": _time.time_ns() // 1_000,
+                "event": event,
+                "detail": _json.dumps(detail, sort_keys=True, default=str),
+            }
+        )
+
+    def _write_trace(self) -> None:
+        from ..schemas import TRACE_SCHEMA
+
+        rows = self._trace_rows
+        table = (
+            pa.Table.from_pylist(rows, schema=TRACE_SCHEMA)
+            if rows
+            else TRACE_SCHEMA.empty_table()
+        )
+        tmp = os.path.join(self.cfg.state_dir, ".trace.parquet.tmp")
+        pq.write_table(table, tmp)
+        os.replace(tmp, os.path.join(self.cfg.state_dir, "trace.parquet"))
 
     def _spawn_worker(self, wi: int):
         """One fetch-worker actor (ray mode). Factored out so the live
@@ -667,6 +715,7 @@ class CrawlEngine:
             if sub not in self._live:
                 raise ValueError(f"unknown config subsystem: {sub!r}")
             self._live[sub].apply(ops)
+        self._trace("config_patch", subsystems=sorted(grouped))
         return True
 
     def _sync_pull_politeness(self) -> None:
@@ -1242,6 +1291,8 @@ class CrawlEngine:
                 pids[widx] = i["pid"]
             if not hit:
                 break
+            self._trace("worker_restart", workers=sorted(hit),
+                        executor="epochs", epoch=epoch)
             replay = [
                 self.workers[widx].process_range.remote(
                     epoch_ref, off, size, epoch, now_us
@@ -1259,6 +1310,8 @@ class CrawlEngine:
                 )
             )
         else:
+            self._trace("abort", reason="epoch-drain worker restart loop")
+            self._write_trace()
             raise RuntimeError(
                 "fetch workers kept restarting during the epoch drain; "
                 "aborting — resume from the last checkpoint"
@@ -1367,6 +1420,10 @@ class CrawlEngine:
             # (T6) charge in absorb() -> shard set_benched, so every
             # politeness-bounded config now gets the fast executor.
             return self._run_pull(seeds, max_urls, start_cycle=start_epoch)
+        self._trace(
+            "crawl_start", executor="epochs",
+            seeds=len(seeds or []), start_epoch=start_epoch,
+        )
         if seeds:
             self.seed(seeds)
         epoch = start_epoch
@@ -1417,6 +1474,10 @@ class CrawlEngine:
                 {"epoch": epoch, "name": name, "value": total}
             )
         self._flush_persec_rows()
+        self._trace(
+            "crawl_stop", epochs=epoch, docs=self._docs_written,
+            failed=self._failed, deadlettered=self._dead,
+        )
         metrics = self._metrics_table()
         self._write_tables(metrics)
         seen_counts = self._call("seen_count")
@@ -1469,6 +1530,10 @@ class CrawlEngine:
         _t = _time.perf_counter()
         cfg = self.cfg
         self._exec_active = "pull"
+        self._trace(
+            "crawl_start", executor="pull",
+            seeds=len(seeds or []), start_cycle=start_cycle,
+        )
         self._apply_config_patches()  # patches queued before run()
         self._sync_pull_politeness()
         if seeds:
@@ -1554,6 +1619,8 @@ class CrawlEngine:
                 if not hit:
                     unacked.clear()
                     return
+                self._trace("worker_restart", workers=sorted(hit),
+                            executor="pull")
                 replay = []
                 for tidx in hit:
                     for desc in unacked.get(tidx, ()):
@@ -1572,6 +1639,8 @@ class CrawlEngine:
                     unacked.pop(tidx, None)
                 ray.get(replay)  # results discarded: absorbed once already
                 # loop: ack the replay's own offers and re-verify pids
+            self._trace("abort", reason="offer-drain worker restart loop")
+            self._write_trace()
             raise RuntimeError(
                 "fetch workers kept restarting during offer drain; "
                 "aborting — resume from the last checkpoint"
@@ -1949,6 +2018,10 @@ class CrawlEngine:
                 {"epoch": cycle, "name": name, "value": total}
             )
         self._flush_persec_rows()
+        self._trace(
+            "crawl_stop", cycles=cycle, docs=self._docs_written,
+            failed=self._failed, deadlettered=self._dead,
+        )
         metrics = self._metrics_table()
         self._write_tables(metrics)
         seen_counts = self._call("seen_count")
@@ -2074,6 +2147,7 @@ class CrawlEngine:
         return pa.Table.from_pylist(self._metrics_rows, schema=METRICS_SCHEMA)
 
     def _write_tables(self, metrics: pa.Table) -> None:
+        self._write_trace()
         pq.write_table(
             metrics, os.path.join(self.cfg.state_dir, "metrics.parquet")
         )
@@ -2213,6 +2287,12 @@ def resume_crawl(corpus: pa.Table, cfg: CrawlConfig) -> CrawlResult:
     for f in admitted_files:
         engine._route(pq.read_table(f), "offer")
 
+    engine._trace(
+        "resume", last_epoch=last_epoch,
+        suspect_files=len(suspect_files),
+        processed_files=len(processed_files),
+        admitted_files=len(admitted_files),
+    )
     return engine.run(start_epoch=last_epoch + 1)
 
 
@@ -2263,6 +2343,10 @@ def recrawl(
         cfg, snapshot_id=next_snap, base_ts_us=base_ts
     )
     engine = CrawlEngine(corpus, cfg)
+    engine._trace(
+        "recrawl", prior_snapshot=prior_snap, snapshot=next_snap,
+        prior_docs=prior.num_rows,
+    )
     if prior.num_rows:
         engine.load_etag_index(prior.select(["url_hash", "etag"]))
     return engine.run(seeds=seeds)

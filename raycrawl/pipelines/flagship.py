@@ -41,7 +41,7 @@ from .crawl import CrawlConfig, CrawlEngine
 # per-sf generator below serves the test harness at other scales)
 DRIVER_ORACLE_SF = "/root/testdata/sf0.01"
 
-_SIDECAR_VERSION = "v1"  # bump when sidecar derivation changes
+_SIDECAR_VERSION = "v2"  # bump when sidecar derivation changes
 
 
 def _sidecar_dir(sf_dir: str, pages_per_doc: int, num_seeds: int) -> str:
@@ -91,6 +91,7 @@ def ensure_oracle_sidecars(
 
     n_links: list[int] = []
     edges: set[tuple[str, str]] = set()
+    dangling: set[tuple[str, str]] = set()  # 404 -> retry -> deadletter
     for i, (u, h) in enumerate(zip(urls, htmls)):
         links = extract_links(h, u)  # the engine's own kernel
         n_links.append(len(links))
@@ -98,6 +99,8 @@ def ensure_oracle_sidecars(
             c = rfc3986_normalize(link)
             if c in url_set:  # dangling links 404 -> never expand
                 edges.add((u, c))
+            else:
+                dangling.add((u, c))
 
     os.makedirs(d, exist_ok=True)
 
@@ -132,6 +135,16 @@ def ensure_oracle_sidecars(
             {
                 "src_url": pa.array(list(src), pa.string()),
                 "dst_url": pa.array(list(dst), pa.string()),
+            }
+        ),
+    )
+    dsrc, ddst = zip(*sorted(dangling)) if dangling else ((), ())
+    _write(
+        "dangling.parquet",
+        pa.table(
+            {
+                "src_url": pa.array(list(dsrc), pa.string()),
+                "dst_url": pa.array(list(ddst), pa.string()),
             }
         ),
     )
@@ -214,6 +227,40 @@ def recrawl_oracle_sql(
     """
 
 
+def metrics_series_oracle_sql(
+    sf_dir: str, *, pages_per_doc: int = 2, num_seeds: int = 4,
+    max_attempts: int = 3,
+) -> str:
+    """DuckDB twin of metrics_series_rollup: every per-second counter's
+    TOTAL is a pure function of the sidecar graph — done = reachable
+    pages (each fetched exactly once past the seen filter), deadletter
+    = distinct dangling urls linked from reachable pages (each admitted
+    once, 404s, exhausts retries), abandon = max_attempts failures per
+    dangling url, fetch = every processed attempt (done + abandon).
+    The SECONDS are wall-clock (not oracle-able); their sums are."""
+    d = _sidecar_dir(sf_dir, pages_per_doc, num_seeds)
+    return f"""{_reach_cte(d)},
+    r AS (SELECT COUNT(*) AS n FROM lev),
+    dg AS (
+      SELECT COUNT(DISTINCT g.dst_url) AS n
+      FROM read_parquet('{d}/dangling.parquet') g
+      WHERE g.src_url IN (SELECT url FROM lev)
+    )
+    SELECT name, total FROM (
+      SELECT 'abandon' AS name,
+             CAST({max_attempts} * dg.n AS BIGINT) AS total
+        FROM dg
+      UNION ALL
+      SELECT 'deadletter', CAST(dg.n AS BIGINT) FROM dg
+      UNION ALL
+      SELECT 'done', CAST(r.n AS BIGINT) FROM r
+      UNION ALL
+      SELECT 'fetch', CAST(r.n + {max_attempts} * dg.n AS BIGINT)
+        FROM r, dg
+    ) ORDER BY name
+    """
+
+
 def run_crawl(
     sf_dir: str,
     *,
@@ -258,6 +305,37 @@ def crawl_reachability(sf_dir: str):
     _, table = run_crawl(sf_dir)
     out = table.select(["urn", "url", "depth", "n_links", "lang"])
     return out.take(pc.sort_indices(out, sort_keys=[("url", "ascending")]))
+
+
+@query("metrics_series_rollup", metrics_series_oracle_sql(DRIVER_ORACLE_SF))
+def metrics_series_rollup(sf_dir: str):
+    """A5/A6 per-second metrics surfaced through the api: crawl, then
+    read each counter's 'sec:' time series via ``api.metrics_series``
+    (the status-endpoint analogue, routes/status.js:10-20) and return
+    its total — hash-checked against the sidecar-graph twin. The
+    series SHAPE (binning, [t0,t1] windowing, monotonic seconds) is
+    pinned in tests/test_api.py::test_metrics_series_window."""
+    import pyarrow as pa
+
+    from ..api import metrics_series
+
+    result, _ = run_crawl(sf_dir, keep_state=True)
+    try:
+        names, totals = [], []
+        for name in ("abandon", "deadletter", "done", "fetch"):
+            series = metrics_series(result.state_dir, name)
+            names.append(name)
+            totals.append(
+                int(pc.sum(series.column("value")).as_py() or 0)
+            )
+        return pa.table(
+            {
+                "name": pa.array(names, pa.string()),
+                "total": pa.array(totals, pa.int64()),
+            }
+        )
+    finally:
+        shutil.rmtree(result.state_dir, ignore_errors=True)
 
 
 @query("recrawl_incremental", recrawl_oracle_sql(DRIVER_ORACLE_SF))

@@ -84,6 +84,19 @@ METRICS_SCHEMA = pa.schema(
     ]
 )
 
+# trace-level lifecycle event log (reference mockInsights trackTrace/
+# trackEvent, providers/logger/mockInsights.js:20-60): one row per
+# engine lifecycle event — start/stop, config patches, worker
+# restarts, aborts, resume/recrawl — persisted to state_dir/
+# trace.parquet. `detail` is a sorted-key JSON object.
+TRACE_SCHEMA = pa.schema(
+    [
+        ("ts_us", pa.int64()),           # wall clock (telemetry, not logic)
+        ("event", pa.string()),
+        ("detail", pa.string()),
+    ]
+)
+
 
 def empty_table(schema: pa.Schema) -> pa.Table:
     return schema.empty_table()

@@ -114,3 +114,41 @@ def test_latest_documents_dataset_matches_driver_path(tmp_path, ray_session):
         .sort_values("urn").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_metrics_series_window(tmp_path):
+    """api.metrics_series (status-endpoint analogue of the reference's
+    per-second redis-metrics buckets): seconds come back sorted and
+    unique, the open-window sum equals the per-epoch counter totals,
+    [t0, t1] bounds are inclusive and compose, and unknown metrics
+    yield an empty series."""
+    corpus, engine = _engine(tmp_path)
+    result = engine.run(seeds=default_seeds(2))
+    assert result.docs_written > 0
+
+    series = api.metrics_series(result.state_dir, "done")
+    secs = series.column("second").to_pylist()
+    vals = series.column("value").to_pylist()
+    assert secs == sorted(secs) and len(secs) == len(set(secs))
+    assert all(v > 0 for v in vals)
+    epoch_total = sum(
+        m["value"]
+        for m in result.metrics.to_pylist()
+        if m["name"] == "done"
+    )
+    assert sum(vals) == epoch_total == result.docs_written
+
+    # inclusive window bounds: clipping to the exact [first, last]
+    # seconds returns the whole series; excluding the first second
+    # drops exactly its bucket
+    whole = api.metrics_series(
+        result.state_dir, "done", t0=secs[0], t1=secs[-1]
+    )
+    assert whole.num_rows == series.num_rows
+    tail = api.metrics_series(result.state_dir, "done", t0=secs[0] + 1)
+    assert sum(tail.column("value").to_pylist()) == sum(vals) - sum(
+        v for s, v in zip(secs, vals) if s == secs[0]
+    )
+
+    assert api.metrics_series(result.state_dir, "nope").num_rows == 0
+    assert api.metrics_series(str(tmp_path / "ghost"), "done").num_rows == 0

@@ -162,3 +162,16 @@ def test_crawl_parity_and_resume_with_sharded_corpus(
     # suspect/processed key; the rebuilt seen set is identical
     resumed = resume_crawl(corpus, cfg)
     assert resumed.seen_digest == ray_res.seen_digest
+
+    # trace log (mockInsights analogue): the resume left its lifecycle
+    # rows — a 'resume' event and a second engine_start/crawl_stop pair
+    from raycrawl import api
+
+    trace = api.trace_log(cfg.state_dir)
+    events = trace.column("event").to_pylist()
+    assert "resume" in events
+    # history accumulates: the original crawl's rows survive the resume
+    assert events.count("engine_start") == 2
+    assert events.count("crawl_stop") == 2
+    ts = trace.column("ts_us").to_pylist()
+    assert ts == sorted(ts)

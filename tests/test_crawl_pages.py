@@ -925,6 +925,13 @@ def test_worker_death_replays_inflight_ranges(
     ):
         assert text == golden[url]
     assert set(result.deadletters_table().column("url").to_pylist()) == dangling
+    # trace log (mockInsights analogue): the mid-crawl death left a
+    # worker_restart event, bracketed by crawl_start/crawl_stop
+    from raycrawl import api
+
+    assert api.trace_log(cfg.state_dir, "worker_restart").num_rows >= 1
+    assert api.trace_log(cfg.state_dir, "crawl_start").num_rows == 1
+    assert api.trace_log(cfg.state_dir, "crawl_stop").num_rows == 1
 
 
 def test_offer_checked_drain_contract(corpus, tmp_path, ray_session):

@@ -208,6 +208,15 @@ def test_live_patch_dict_form_and_unknown_subsystem(corpus, tmp_path):
     engine.patch_config({"crawler": {"epoch_budget": 9}})
     engine._apply_config_patches()  # infallible: only valid ops queued
     assert engine.cfg.epoch_budget == 9
+    # every landed patch leaves a trace row (mockInsights analogue);
+    # the rejected ones above left none
+    patches = [
+        r
+        for r in engine._trace_rows
+        if r["event"] == "config_patch"
+    ]
+    assert len(patches) == 2
+    assert all('"crawler"' in r["detail"] for r in patches)
 
 
 def test_live_patch_pool_resize(corpus, oracle, tmp_path, ray_session):
