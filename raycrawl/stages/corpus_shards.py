@@ -202,7 +202,14 @@ def _remote(name: str):
 
         _REMOTES["split"] = ray.remote(_split_source)
         _REMOTES["build"] = ray.remote(_build_shard_tables)
-        _REMOTES["probe"] = ray.remote(
+        # num_cpus=0: membership probes are sub-ms searchsorted reads
+        # over a shard's index arrays, and they run at RESUME time —
+        # when the engine's worker actors already hold every CPU token
+        # on a fully-subscribed cluster. A 1-CPU probe task then pends
+        # forever behind the actors: a real deadlock, hit whenever a
+        # crash left suspect docs to classify (caught by faulthandler
+        # in test_dispatcher_death_recovers_via_resume).
+        _REMOTES["probe"] = ray.remote(num_cpus=0)(
             lambda index, h64, tail: index_lookup_arrays(index, h64, tail)[0]
         )
     return _REMOTES[name]
@@ -320,12 +327,27 @@ class ShardedTableFetcher:
     def __init__(self, handle: ShardedCorpus, index=None) -> None:
         self._h = handle
         self._resident: OrderedDict[int, tuple] = OrderedDict()
+        # residency telemetry: resolve_count > len(shards_touched)
+        # means the LRU evicted and re-pulled a cold shard; under
+        # corpus-range-aligned dispatch (CrawlConfig.align_corpus_ranges)
+        # the two stay EQUAL and shards_touched is the worker's range
+        # slice — asserted in tests/test_corpus_align.py
+        self.resolve_count = 0
+        self.shards_touched: set[int] = set()
+
+    def residency_stats(self) -> dict:
+        return {
+            "resolves": self.resolve_count,
+            "distinct_shards": len(self.shards_touched),
+        }
 
     def _shard(self, sid: int):
         ent = self._resident.get(sid)
         if ent is None:
             import ray
 
+            self.resolve_count += 1
+            self.shards_touched.add(sid)
             tab = ray.get(self._h.table_refs[sid])
             idx = ray.get(self._h.index_refs[sid])
             for name in ("html", "lang", "warc_ts"):
