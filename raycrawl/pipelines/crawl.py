@@ -167,6 +167,21 @@ class CrawlConfig:
     # plasma mmap, so "all shards" costs address space, not heap).
     # Set on a real cluster to bound per-node corpus footprint.
     corpus_max_resident: int | None = None
+    # HARD corpus residency (the documented round-5 locality bound,
+    # corpus_shards.py module docstring): route frontier rows by the
+    # TOP bits of the u64 url-hash prefix — the corpus shards' range
+    # function — instead of mod, and bind each frontier shard's
+    # dispatch chunks to a fixed worker group. A worker then only ever
+    # touches the corpus shards nested in its frontier range:
+    # max(1, C/S) of them, for ANY corpus size, with zero cold-shard
+    # re-pulls. Requires a power-of-two num_shards; pull executor
+    # (affinity lives in its dispatch loop) without the dispatcher
+    # tier (a tier lease fans chunks to any group member — per-NODE
+    # residency under the tier needs one group per node, a placement
+    # concern the sandbox cannot express). Changes worker visit order
+    # (golden-order tests pin the default router), never the crawled
+    # set.
+    align_corpus_ranges: bool = False
     snapshot_id: str = "s0"
     base_ts_us: int = BASE_TS_US + 86_400_000_000  # crawl clock: corpus ts + 1d
 
@@ -236,6 +251,24 @@ def build_frontier_rows(
         ],
         schema=FRONTIER_SCHEMA,
     )
+
+
+def _route_holder(cfg: "CrawlConfig"):
+    """Duck-typed ``self`` for ``CrawlWorkerStage._shard_split`` on the
+    driver: carries the shard count AND the routing mode, so driver-side
+    routing (seeds, retries, etag loads, resume replay) matches the
+    workers' router bit-for-bit (single-owner invariant) under both the
+    default mod router and align_corpus_ranges' range router."""
+    bits = cfg.num_shards.bit_length() - 1
+    return type(
+        "S",
+        (),
+        {
+            "num_shards": cfg.num_shards,
+            "range_route": cfg.align_corpus_ranges,
+            "_shard_bits": bits if cfg.align_corpus_ranges else 0,
+        },
+    )()
 
 
 class NodeDispatcher:
@@ -324,6 +357,24 @@ class CrawlEngine:
         default path only) a parquet path/dir/list so a corpus larger
         than driver memory never materializes anywhere whole."""
         self.cfg = cfg
+        if cfg.align_corpus_ranges:
+            if cfg.num_shards & (cfg.num_shards - 1):
+                raise ValueError(
+                    "align_corpus_ranges requires a power-of-two "
+                    f"num_shards, got {cfg.num_shards}"
+                )
+            if cfg.node_dispatchers > 0:
+                raise ValueError(
+                    "align_corpus_ranges + dispatcher tier is not "
+                    "supported: a lease fans chunks to any group "
+                    "member (see CrawlConfig.align_corpus_ranges)"
+                )
+            if cfg.mode != "ray" or cfg.ray_exec != "pull":
+                raise ValueError(
+                    "align_corpus_ranges is a pull-executor feature "
+                    "(the affinity lives in its dispatch loop); got "
+                    f"mode={cfg.mode!r} ray_exec={cfg.ray_exec!r}"
+                )
         os.makedirs(cfg.state_dir, exist_ok=True)
         self.docs_dir = os.path.join(cfg.state_dir, "documents")
         self.dead_dir = os.path.join(cfg.state_dir, "deadletters")
@@ -520,6 +571,7 @@ class CrawlEngine:
                 scope_hosts=cfg.scope_hosts,
                 robots_rules=self.robots_rules,
                 track_host_cost=cfg.compute_limit_ms > 0,
+                range_route=cfg.align_corpus_ranges,
                 token_specs=cfg.token_specs,
                 token_call_cap=cfg.token_call_cap,
                 token_call_window_sec=cfg.token_call_window_sec,
@@ -604,6 +656,7 @@ class CrawlEngine:
             scope_hosts=cfg.scope_hosts,
             robots_rules=self.robots_rules,
             track_host_cost=cfg.compute_limit_ms > 0,
+            range_route=cfg.align_corpus_ranges,
             pin_cpu=pin,
             token_specs=cfg.token_specs,
             token_call_cap=cfg.token_call_cap,
@@ -759,7 +812,7 @@ class CrawlEngine:
         would hold a 10^10-doc etag store. Shards stamp payload_etag on
         admitted rows; the fetch stage 304s unchanged bodies."""
         splitter = CrawlWorkerStage._shard_split
-        holder = type("S", (), {"num_shards": self.cfg.num_shards})()
+        holder = _route_holder(self.cfg)
         refs = []
         for sid, sub in splitter(holder, docs):
             hashes = sub.column("url_hash").to_pylist()
@@ -858,7 +911,7 @@ class CrawlEngine:
         if rows.num_rows == 0:
             return 0
         splitter = CrawlWorkerStage._shard_split
-        holder = type("S", (), {"num_shards": self.cfg.num_shards})()
+        holder = _route_holder(self.cfg)
         parts = list(splitter(holder, rows))
         if self.cfg.mode == "ray":
             import ray
@@ -1368,7 +1421,7 @@ class CrawlEngine:
                 self._route(retriable, "requeue")
             else:
                 splitter = CrawlWorkerStage._shard_split
-                holder = type("S", (), {"num_shards": self.cfg.num_shards})()
+                holder = _route_holder(self.cfg)
                 for sid, sub in splitter(holder, retriable):
                     self._route_refs.append(
                         self.shards[sid].requeue.remote(sub)
@@ -1583,6 +1636,21 @@ class CrawlEngine:
             ray.get([d.ping.remote() for d in tiers])
         self._tiers = tiers  # close() kills leftovers on error paths
         targets = tiers or pool
+        # corpus-range affinity (align_corpus_ranges; tier combination
+        # rejected at construction): frontier shard s's chunks go only
+        # to its worker group, so each worker's ShardedTableFetcher
+        # touches exactly the corpus shards nested in s's hash range —
+        # max(1, C/S) of them, zero cold re-pulls (asserted with
+        # fetcher_stats in tests/test_corpus_align.py).
+        aligned = cfg.align_corpus_ranges
+        if aligned:
+            S, P = len(self.shards), len(pool)
+            shard_workers = [
+                [w for w in range(P) if w % S == s]
+                if P >= S
+                else [s % P]
+                for s in range(S)
+            ]
         outstanding = [0] * len(targets)
         inflight: dict = {}  # ref -> (target_idx, n_rows, replay_desc)
         inflight_rows = 0
@@ -1789,11 +1857,13 @@ class CrawlEngine:
                 192, min(chunk, math.ceil(wave / max(1, free)))
             )
             took = 0
-            for (_, table_ref), m in zip(refs, metas):
+            for sid, ((_, table_ref), m) in enumerate(zip(refs, metas)):
                 n = m["num"]
                 took += n
                 for off in range(0, n, eff_chunk):
-                    work_q.append((table_ref, off, min(eff_chunk, n - off)))
+                    work_q.append(
+                        (table_ref, off, min(eff_chunk, n - off), sid)
+                    )
             processed += took
             if took == 0:
                 starved = True
@@ -1900,6 +1970,37 @@ class CrawlEngine:
                 _tm["refill"] += _time.perf_counter() - _t
             _t = _time.perf_counter()
             while work_q:
+                if aligned:
+                    # hard-residency affinity: a chunk may only go to
+                    # its frontier shard's worker group. Scan for the
+                    # first chunk whose group has depth capacity (no
+                    # head-of-line block on a busy group; the refill
+                    # trigger caps the queue at ~2x pool chunks, so
+                    # the scan is tens of items).
+                    pick = None
+                    for qi, item in enumerate(work_q):
+                        w = min(
+                            shard_workers[item[3]],
+                            key=outstanding.__getitem__,
+                        )
+                        if outstanding[w] < depth_cap:
+                            pick = (qi, w)
+                            break
+                    if pick is None:
+                        break
+                    qi, widx = pick
+                    take_ref, off, size, _sid = work_q[qi]
+                    del work_q[qi]
+                    rows = size
+                    ref = targets[widx].process_range.remote(
+                        take_ref, off, size, cycle, clock_us
+                    )
+                    desc = (take_ref, off, size, cycle, clock_us)
+                    _tm["chunks"] += 1
+                    inflight[ref] = (widx, rows, desc)
+                    outstanding[widx] += 1
+                    inflight_rows += rows
+                    continue
                 widx = min(
                     range(len(targets)), key=outstanding.__getitem__
                 )
@@ -1907,7 +2008,7 @@ class CrawlEngine:
                     break
                 if tiers:
                     lease = [
-                        work_q.popleft()
+                        work_q.popleft()[:3]
                         for _ in range(min(len(work_q), lease_n))
                     ]
                     rows = sum(s for _, _, s in lease)
@@ -1918,7 +2019,7 @@ class CrawlEngine:
                     _tm["chunks"] += len(lease)
                     _tm["leases"] += 1
                 else:
-                    take_ref, off, size = work_q.popleft()
+                    take_ref, off, size, _sid = work_q.popleft()
                     rows = size
                     ref = targets[widx].process_range.remote(
                         take_ref, off, size, cycle, clock_us
@@ -2224,7 +2325,7 @@ def resume_crawl(corpus: pa.Table, cfg: CrawlConfig) -> CrawlResult:
             for f in processed_files
         ).combine_chunks()
         splitter = CrawlWorkerStage._shard_split
-        holder = type("S", (), {"num_shards": cfg.num_shards})()
+        holder = _route_holder(cfg)
         refs = []
         for sid, sub in splitter(holder, processed):
             digests = sub.column("url_hash").to_pylist()

@@ -227,6 +227,7 @@ class CrawlWorkerStage:
         scope_hosts: tuple[str, ...] = (),
         robots_rules: dict | None = None,
         track_host_cost: bool = False,
+        range_route: bool = False,
         pin_cpu: int | None = None,
         token_specs=None,
         token_call_cap: int = 30,
@@ -279,6 +280,21 @@ class CrawlWorkerStage:
         self._elapsed_ms = getattr(self.fetcher, "elapsed_ms", None)
         self.shards = shards
         self.num_shards = len(shards)
+        # corpus-range-aligned routing (CrawlConfig.align_corpus_ranges):
+        # frontier shards partition by the TOP bits of the same u64
+        # url-hash prefix the corpus shards range on, instead of mod —
+        # shard s then owns a contiguous h64 range nested inside (or
+        # containing) whole corpus-shard ranges, so a worker bound to s
+        # only ever touches those corpus shards (hard residency).
+        self.range_route = range_route
+        if range_route and self.num_shards & (self.num_shards - 1):
+            raise ValueError(
+                "range_route requires a power-of-two shard count, got "
+                f"{self.num_shards}"
+            )
+        self._shard_bits = (
+            self.num_shards.bit_length() - 1 if range_route else 0
+        )
         self.docs_dir = docs_dir
         self._write_salt = os.urandom(8)  # unique doc part names per run
         self._doc_seq = 0
@@ -454,17 +470,26 @@ class CrawlWorkerStage:
     # -- candidate routing -------------------------------------------------
 
     def _shard_split(self, frontier_rows: pa.Table):
-        """Vectorized shard routing: uint64 prefix of url_hash mod S."""
+        """Vectorized shard routing: uint64 prefix of url_hash mod S —
+        or, under ``range_route``, the top ``log2(S)`` bits of that
+        prefix (the corpus shards' range function, corpus_shards.py
+        ``ShardedCorpus.route``), so frontier and corpus partitions
+        nest."""
         if frontier_rows.num_rows == 0:  # all candidates pre-deduped
             return
         digests = frontier_rows.column("url_hash")
         raw = np.frombuffer(
             b"".join(digests.to_pylist()), dtype=np.uint8
         ).reshape(-1, 20)
-        sids = (
-            raw[:, :8].copy().view(np.dtype("<u8")).reshape(-1)
-            % np.uint64(self.num_shards)
-        ).astype(np.int64)
+        h64 = raw[:, :8].copy().view(np.dtype("<u8")).reshape(-1)
+        if getattr(self, "range_route", False):
+            sids = (
+                (h64 >> np.uint64(64 - self._shard_bits)).astype(np.int64)
+                if self._shard_bits
+                else np.zeros(len(h64), dtype=np.int64)
+            )
+        else:
+            sids = (h64 % np.uint64(self.num_shards)).astype(np.int64)
         order = np.argsort(sids, kind="stable")
         sorted_sids = sids[order]
         bounds = np.r_[
@@ -527,6 +552,15 @@ class CrawlWorkerStage:
             else pa.concat_tables(tables).combine_chunks()
         )
         self._pending_offers.append(self.shards[sid].offer.remote(t))
+
+    def fetcher_stats(self) -> dict:
+        """Corpus-residency telemetry (sharded fetcher only): how many
+        shard resolves this worker performed and how many DISTINCT
+        shards it touched. Equal counts = no LRU thrash; under
+        corpus-range-aligned dispatch the distinct count is the
+        worker's range slice (tests/test_corpus_align.py)."""
+        stats = getattr(self.fetcher, "residency_stats", None)
+        return stats() if stats else {}
 
     def pid(self) -> int:
         """Incarnation stamp for the checked-drain contract: a restarted
