@@ -18,11 +18,13 @@ import pyarrow.parquet as pq
 
 from .pipelines.crawl import CrawlEngine
 from .schemas import DEADLETTER_SCHEMA, FRONTIER_SCHEMA, QUEUES
+from .state.auth import guarded
 
 
 # -- queue surface (routes/queues.js, routes/requests.js) -------------------
 
 
+@guarded
 def queue_depths(engine: CrawlEngine) -> dict[str, int]:
     """GET /queues depth per class (A1; inmemorycrawlqueue.js:65-70)."""
     totals = {q: 0 for q in QUEUES}
@@ -32,6 +34,7 @@ def queue_depths(engine: CrawlEngine) -> dict[str, int]:
     return totals
 
 
+@guarded
 def peek(engine: CrawlEngine, queue: str, count: int = 25) -> pa.Table:
     """GET /requests/:queue?count — top-N pending requests in priority
     order WITHOUT consuming them (O4, routes/requests.js:30-44, capped
@@ -54,6 +57,7 @@ def peek(engine: CrawlEngine, queue: str, count: int = 25) -> pa.Table:
     return table.slice(0, count)
 
 
+@guarded
 def pop(engine: CrawlEngine, queue: str, count: int = 25) -> pa.Table:
     """DELETE /requests/:queue?count — consume top-N (routes/requests.js:11-14)."""
     count = min(count, 100)
@@ -74,6 +78,7 @@ def pop(engine: CrawlEngine, queue: str, count: int = 25) -> pa.Table:
     return give
 
 
+@guarded
 def queue_requests(engine: CrawlEngine, specs: list[str | dict],
                    queue: str = "normal") -> int:
     """POST /requests — the request rationalizer (M1,
@@ -94,6 +99,7 @@ def queue_requests(engine: CrawlEngine, specs: list[str | dict],
     return engine.seed(out)
 
 
+@guarded
 def flush_queue(engine: CrawlEngine, queue: str) -> int:
     """DELETE /queues/:name (D4, routes/queues.js:11-17): drop all
     pending rows of one class; the seen filter keeps its snapshot.
@@ -102,6 +108,7 @@ def flush_queue(engine: CrawlEngine, queue: str) -> int:
     return sum(engine._call("drop_queue", queue))
 
 
+@guarded
 def patch_config(engine: CrawlEngine, patches) -> None:
     """PATCH /config (T11/X5, routes/config.js:12-18): queue config
     patches; they land at the engine's next epoch boundary. Accepts the
@@ -109,15 +116,17 @@ def patch_config(engine: CrawlEngine, patches) -> None:
     engine.patch_config(patches)
 
 
+@guarded
 def get_config(engine: CrawlEngine) -> dict:
     """GET /config (routes/config.js:20-28)."""
     return engine.config_snapshot()
 
 
+@guarded
 def status(engine: CrawlEngine) -> dict:
     """GET /status (A6, routes/status.js:10-20)."""
     return {
-        "queues": queue_depths(engine),
+        "queues": queue_depths.__wrapped__(engine),
         "seen": sum(engine._call("seen_count")),
         "docs_written": engine._docs_written,
         "deadlettered": engine._dead,
@@ -133,6 +142,7 @@ def _docs_files(state_dir: str) -> list[str]:
     return sorted(glob(os.path.join(state_dir, "documents", "epoch=*", "*.parquet")))
 
 
+@guarded
 def doc_count(state_dir: str, urn_prefix: str = "") -> int:
     """A2 segmented count by urn prefix (storageDocStore.js:143-177) —
     column-pruned parquet scan, no full-table load."""
@@ -146,6 +156,7 @@ def doc_count(state_dir: str, urn_prefix: str = "") -> int:
     return total
 
 
+@guarded
 def doc_list(state_dir: str, urn_prefix: str = "", limit: int = 10_000) -> pa.Table:
     """A3 metadata projection, capped at 10 000 like the reference
     (storageDocStore.js:93-129)."""
@@ -166,6 +177,7 @@ def doc_list(state_dir: str, urn_prefix: str = "", limit: int = 10_000) -> pa.Ta
     return pa.concat_tables(out)
 
 
+@guarded
 def latest_documents_dataset(state_dir: str):
     """D3 last-write-wins compaction as a streaming Ray Data pipeline —
     the 100-TB path (the driver-side ``latest_documents`` below is the
@@ -216,6 +228,7 @@ def latest_documents_dataset(state_dir: str):
     )
 
 
+@guarded
 def latest_documents(state_dir: str) -> pa.Table:
     """D3 last-write-wins compaction: one row per urn, max processed_at
     (re-crawl upsert semantics, mongodocstore.js:25-32). Driver-side
@@ -246,6 +259,7 @@ def latest_documents(state_dir: str) -> pa.Table:
 # -- metrics surface (routes/status.js + the dashboard's live counters) -----
 
 
+@guarded
 def metrics_series(
     state_dir: str,
     metric: str,
@@ -275,6 +289,7 @@ def metrics_series(
     return out.take(pc.sort_indices(out, sort_keys=[("second", "ascending")]))
 
 
+@guarded
 def trace_log(state_dir: str, event: str | None = None) -> pa.Table:
     """Lifecycle trace rows (mockInsights trackTrace/trackEvent
     analogue, providers/logger/mockInsights.js:20-60) from a crawl's
@@ -293,6 +308,7 @@ def trace_log(state_dir: str, event: str | None = None) -> pa.Table:
 # -- deadletter surface (routes/deadletters.js) -----------------------------
 
 
+@guarded
 def deadletter_list(state_dir: str) -> pa.Table:
     files = sorted(glob(os.path.join(state_dir, "deadletters", "*.parquet")))
     if not files:
@@ -300,16 +316,18 @@ def deadletter_list(state_dir: str) -> pa.Table:
     return pa.concat_tables(pq.read_table(f) for f in files)
 
 
+@guarded
 def deadletter_count(state_dir: str) -> int:
-    return deadletter_list(state_dir).num_rows
+    return deadletter_list.__wrapped__(state_dir).num_rows
 
 
+@guarded
 def requeue_deadletters(engine: CrawlEngine, state_dir: str,
                         urls: list[str] | None = None) -> int:
     """POST /deadletters?op=requeue (J3, routes/deadletters.js:30-38):
     failed rows re-enter the frontier with attempt_count reset; the
     deadletter files are cleared for the requeued rows."""
-    dead = deadletter_list(state_dir)
+    dead = deadletter_list.__wrapped__(state_dir)
     if dead.num_rows == 0:
         return 0
     if urls is not None:
