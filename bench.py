@@ -164,8 +164,7 @@ def run_bench() -> dict:
     ) -> tuple[float, int, int, dict]:
         c = corpus if corpus_t is None else corpus_t
         state = tempfile.mkdtemp(prefix=f"raycrawl_bench_{tag}_")
-        cfg = CrawlConfig(
-            state_dir=state,
+        kw = dict(
             mode="ray",
             ray_exec="pull",   # continuous scheduler: no epoch barrier
             num_shards=num_shards,
@@ -175,8 +174,9 @@ def run_bench() -> dict:
             reserve_cores=reserve,
             seen_filter="bloom",
             seen_capacity=max(1_000_000, c.num_rows * 4 // num_shards),
-            **extra,
         )
+        kw.update(extra)  # entries may override the base sizing too
+        cfg = CrawlConfig(state_dir=state, **kw)
         engine = CrawlEngine(c, cfg)
         t0 = time.perf_counter()
         result = engine.run(seeds=seeds)
@@ -288,6 +288,32 @@ def run_bench() -> dict:
             "window_ceiling": _window_ceiling(),
         }
 
+    # hard-residency entry: same crawl with corpus-range-aligned
+    # routing + worker-group affinity (align_corpus_ranges — the
+    # documented locality bound of the sharded corpus, closed in round
+    # 5). One run: the figure documents the single-box cost of the
+    # affinity constraint (on one node every shard resolve is a plasma
+    # mmap, so alignment buys nothing here and pays scheduling slack
+    # whenever a group's queue runs dry; on a real cluster it converts
+    # cold-shard TRANSFERS into node-local reads). Not an inversion
+    # trigger: alignment can legitimately run fast, so it proves no
+    # collapse window. Shard count rounds down to a power of two (the
+    # range router's requirement).
+    align = None
+    if not crawl_only:
+        s_pow2 = 1 << (num_shards.bit_length() - 1)
+        awall, acrawled, _, _ = crawl_once(
+            "align", align_corpus_ranges=True, num_shards=s_pow2
+        )
+        align = {
+            "value": round(awall, 3),
+            "urls_crawled": acrawled,
+            "urls_per_sec": round(acrawled / awall, 1),
+            "num_shards": s_pow2,
+            "vs_unbounded": round(awall / wall, 2),
+            "window_ceiling": _window_ceiling(),
+        }
+
     # headline-inversion retry: polite/spill/tier crawl the (nearly)
     # IDENTICAL set with strictly MORE work than the unbounded headline
     # (robots + rate gate, forced frontier spill, an extra dispatch
@@ -316,7 +342,7 @@ def run_bench() -> dict:
             }
             if rwall < wall:
                 wall, crawled = rwall, rcrawled
-            for e in (polite, tier):
+            for e in (polite, tier, align):
                 if e is not None:
                     e["vs_unbounded"] = round(e["value"] / wall, 2)
 
@@ -381,6 +407,8 @@ def run_bench() -> dict:
         out["spill"] = spill
     if tier is not None:
         out["tier"] = tier
+    if align is not None:
+        out["align"] = align
     return out
 
 
