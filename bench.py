@@ -587,6 +587,46 @@ def _alu_probe(nproc: int, dur: float = 4.0) -> float:
     return sum(rates) / len(rates)
 
 
+def _bw_probe(nproc: int, dur: float = 3.0) -> float:
+    """Per-process MEMORY-COPY rate (bytes/s) across nproc pinned
+    processes, each streaming a 64 MB buffer (far beyond any L3 share)
+    — the complement of _alu_probe. The ALU probe bounds the FREQUENCY
+    artifact; this bounds the MEMORY-BUS artifact: a single box's
+    bandwidth is fixed while a real 4N-node cluster brings 4N memory
+    buses, so (bw_4N/bw_N)/1 is the hard 8→32 efficiency ceiling for
+    the bandwidth-bound FRACTION of any workload on this box (measured
+    here: per-proc 6.6 GB/s at 8 → 2.0 GB/s at 32; total saturates at
+    ~65 GB/s ⇒ a fully bandwidth-bound job cannot exceed 0.31)."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def stream(core, q):
+        try:
+            os.sched_setaffinity(0, {core})
+        except OSError:  # pragma: no cover
+            pass
+        src = np.random.default_rng(core).integers(
+            0, 255, 1 << 26, dtype=np.uint8
+        )
+        dst = np.empty_like(src)
+        n = 0
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < dur:
+            np.copyto(dst, src)
+            n += src.nbytes
+        q.put(n / (time.perf_counter() - t0))
+
+    q = mp.Queue()
+    procs = [mp.Process(target=stream, args=(i, q)) for i in range(nproc)]
+    for p in procs:
+        p.start()
+    rates = [q.get() for _ in procs]
+    for p in procs:
+        p.join()
+    return sum(rates) / len(rates)
+
+
 def run_scaling() -> dict:
     """Measure BOTH scaling pairs and emit them in one JSON (ADVICE
     r2: the secondary pair lived only in BASELINE.md prose). The
@@ -600,6 +640,7 @@ def run_scaling() -> dict:
     # hardware ceiling evidence: per-process ALU rate at 8 vs 32
     # busy cores bounds ANY workload's 8→32 efficiency on this box
     alu8, alu32 = _alu_probe(8), _alu_probe(32)
+    bw8, bw32 = _bw_probe(8), _bw_probe(32)
     canonical = run_pair(8, 32, rounds_n)
     result = {
         "metric": "scaling_efficiency_8_to_32",
@@ -608,6 +649,20 @@ def run_scaling() -> dict:
             "per_proc_ops_8": round(alu8),
             "per_proc_ops_32": round(alu32),
             "hardware_ceiling_8_to_32": round(alu32 / alu8, 3),
+        },
+        # the memory-bus ceiling (see _bw_probe): bandwidth_bound_eff
+        # is the 8→32 efficiency of a 100%-bandwidth-bound workload on
+        # THIS box — the floor of the [bw, 1.0] band the engine's raw
+        # number lands in. A real 8→32-node cluster has 4x the buses,
+        # so the bandwidth-bound fraction scales ~1.0 there.
+        "bw_probe": {
+            "per_proc_gbps_8": round(bw8 / 1e9, 2),
+            "per_proc_gbps_32": round(bw32 / 1e9, 2),
+            "total_gbps_8": round(8 * bw8 / 1e9, 1),
+            "total_gbps_32": round(32 * bw32 / 1e9, 1),
+            "bandwidth_bound_eff_8_to_32": round(
+                (32 * bw32) / (8 * bw8) / 4, 3
+            ),
         },
     }
     # clock-held 8→32: same pair, but ALU spinners keep the idle cores
