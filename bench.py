@@ -751,6 +751,27 @@ def run_bigcorpus() -> dict:
     reserve = max(1, NUM_CPUS // 8)
     workers = max(2, NUM_CPUS - reserve - 1)
     state = tempfile.mkdtemp(prefix="raycrawl_bench_big_")
+    # GRAFT_BIG_ALIGN=1: hard-residency variant — power-of-two frontier
+    # shards range-aligned with the corpus shards, worker-group dispatch
+    # affinity, and the LRU capped at the residency bound, so each
+    # worker maps only its max(1, C/S) corpus shards instead of (over a
+    # long crawl) all of them. The JSON then carries per-worker
+    # residency telemetry proving the bound at >memory scale.
+    big_align = os.environ.get("GRAFT_BIG_ALIGN") == "1"
+    extra = {}
+    if big_align:
+        num_shards = 1 << (num_shards.bit_length() - 1)
+        extra = {
+            "align_corpus_ranges": True,
+            # NO LRU cap: under alignment the RANGE is the bound — a
+            # worker can only ever touch its frontier shard's C/S
+            # corpus shards, so the footprint is range-sized by
+            # construction and capping below C/S just forces evict/
+            # re-resolve churn. Measured: max_resident=4 with C/S=8
+            # thrashed to 381k resolves / 1454 s vs ~16 resolves /
+            # range-bounded memory uncapped (BASELINE.md).
+            "corpus_max_resident": None,
+        }
     cfg = CrawlConfig(
         state_dir=state,
         mode="ray",
@@ -762,6 +783,7 @@ def run_bigcorpus() -> dict:
         reserve_cores=reserve,
         seen_filter="bloom",
         seen_capacity=max(1_000_000, n_pages * 4 // num_shards),
+        **extra,
     )
     t_build0 = time.perf_counter()
     engine = CrawlEngine(out_dir, cfg)
@@ -803,6 +825,11 @@ def run_bigcorpus() -> dict:
     sampler.join(timeout=5)
     crawled = result.docs_written + result.deadlettered
     handle = engine.corpus_handle
+    residency = None
+    if big_align:
+        residency = ray.get(
+            [w.fetcher_stats.remote() for w in engine.workers]
+        )
     worker_peaks = [
         v for k, v in peak.items() if k != "driver" and v["rss_mb"] > 0
     ]
@@ -832,6 +859,19 @@ def run_bigcorpus() -> dict:
         ),
         "window_ceiling": _window_ceiling(),
     }
+    if residency is not None:
+        out["align"] = {
+            "num_shards": num_shards,
+            "corpus_max_resident": extra["corpus_max_resident"],
+            "residency_bound": max(1, handle.num_shards // num_shards),
+            "worker_distinct_shards_max": max(
+                (r.get("distinct_shards", 0) for r in residency),
+                default=0,
+            ),
+            "worker_resolves_max": max(
+                (r.get("resolves", 0) for r in residency), default=0
+            ),
+        }
     ray.shutdown()
     return out
 
