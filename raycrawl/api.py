@@ -184,24 +184,24 @@ def latest_documents_dataset(state_dir: str):
     small-result admin variant). Hash-partition by urn, then ONE
     vectorized sort + first-of-run kernel per partition; no per-key
     Python, no driver materialization."""
-    import zlib
-
     import numpy as np
     import ray.data
 
     parts = 32
 
     def add_part(t: pa.Table) -> pa.Table:
-        urns = t.column("urn").to_pylist()
-        uniq = {}
-        out = np.empty(len(urns), dtype=np.int64)
-        for i, u in enumerate(urns):
-            p = uniq.get(u)
-            if p is None:
-                p = zlib.crc32(u.encode("utf-8")) % parts
-                uniq[u] = p
-            out[i] = p
-        return t.append_column("part", pa.array(out, pa.int64()))
+        # vectorized deterministic partition hash (pandas hash_array,
+        # fixed default key — stable across worker processes); any
+        # deterministic urn->part function yields identical results,
+        # since last-wins runs entirely within a urn's partition
+        import pandas as pd
+
+        h = pd.util.hash_array(
+            t.column("urn").to_numpy(zero_copy_only=False)
+        )
+        return t.append_column(
+            "part", pa.array((h % parts).astype(np.int64), pa.int64())
+        )
 
     def last_per_urn(t: pa.Table) -> pa.Table:
         order = pc.sort_indices(
