@@ -1651,6 +1651,25 @@ class CrawlEngine:
                 else [s % P]
                 for s in range(S)
             ]
+            if self.corpus_handle is not None:
+                # warm each worker's range slice NOW (fire-and-forget,
+                # drained with the other async RPCs): under alignment
+                # a worker's corpus shards are known before the first
+                # row is taken, so restores/mmaps overlap the seed
+                # ramp instead of serializing into the first waves —
+                # the spill-pressure cost measured in the 20M-page
+                # aligned run (BASELINE.md hard-residency table).
+                C = self.corpus_handle.num_shards
+                for s in range(S):
+                    rng_ = (
+                        list(range(s * (C // S), (s + 1) * (C // S)))
+                        if C >= S
+                        else [s * C // S]
+                    )
+                    self._route_refs.extend(
+                        pool[w].warm_corpus_shards.remote(rng_)
+                        for w in shard_workers[s]
+                    )
         outstanding = [0] * len(targets)
         inflight: dict = {}  # ref -> (target_idx, n_rows, replay_desc)
         inflight_rows = 0

@@ -29,15 +29,18 @@ scale-killer). This module replaces it:
   Lookups group each batch by shard, so a batch costs one resolve per
   DISTINCT shard touched, not per row.
 
-Locality caveat (documented, not hidden): frontier rows reach workers
-in (depth, discovery_ts) order, which scatters uniformly across hash
+Locality: under the DEFAULT mod router, frontier rows reach workers in
+(depth, discovery_ts) order, which scatters uniformly across hash
 ranges — so with ``max_resident < C`` a worker re-resolves cold shards
-across batches. On one node a re-resolve is a plasma mmap (cheap); on
-a real cluster it is a shard transfer the first time a node sees it,
-after which the node's plasma caches it. A deployment that needs hard
-per-node residency aligns frontier-shard ownership with corpus ranges
-(both key on the same h64); the sandbox keeps them independent because
-the golden-order tests pin the frontier router.
+across batches (on one node a re-resolve is a plasma mmap; on a real
+cluster, a transfer). ``CrawlConfig.align_corpus_ranges`` closes this:
+frontier shards range-partition on the SAME h64 top bits and each
+shard's chunks bind to a fixed worker group, so a worker touches
+exactly its range's ``max(1, C/S)`` shards, resolves each once
+(warmed at crawl start, overlapping the seed ramp), and needs no LRU
+cap — measured at 20M pages: resolves == distinct == C/S per worker,
+peak worker RSS 17.4 → 3.0 GB (BASELINE.md "hard residency"). The
+default stays the mod router because the golden-order tests pin it.
 """
 
 from __future__ import annotations

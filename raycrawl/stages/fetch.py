@@ -553,6 +553,20 @@ class CrawlWorkerStage:
         )
         self._pending_offers.append(self.shards[sid].offer.remote(t))
 
+    def warm_corpus_shards(self, sids: list[int]) -> int:
+        """Pre-resolve (mmap, or restore-from-spill) corpus shards —
+        the aligned executor fires one of these per worker at crawl
+        start with the worker's OWN range slice, so shard restores
+        overlap the BFS seed ramp instead of serializing into the
+        first take waves. Idempotent (resolve is get-or-insert); a
+        no-op for non-sharded fetchers."""
+        shard = getattr(self.fetcher, "_shard", None)
+        if shard is None:
+            return 0
+        for sid in sids:
+            shard(int(sid))
+        return len(sids)
+
     def fetcher_stats(self) -> dict:
         """Corpus-residency telemetry (sharded fetcher only): how many
         shard resolves this worker performed and how many DISTINCT
