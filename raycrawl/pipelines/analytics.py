@@ -734,3 +734,266 @@ def events_sessionize(sf_dir: str):
         .groupby("part")
         .map_groups(sessions, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins + windowed aggregates (W-family extensions: the custom
+# operators Ray Data lacks natively — as-of join, interval/range join,
+# hopping window — each expressed as one keyed shuffle + one vectorized
+# per-partition kernel, the same shape every other per-key query here
+# uses. Partitioning assumption (documented per the brief): both sides
+# hash-shuffle on the SAME join key with the SAME partitioner, so each
+# partition sees every row for its keys and the kernel never needs
+# cross-partition state.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_join_latest_order",
+    "SELECT event_id, user_id, ts, asof_orderkey, asof_orderdate FROM ("
+    "  SELECT e.event_id, e.user_id, e.ts,"
+    "         o.o_orderkey AS asof_orderkey,"
+    "         o.o_orderdate AS asof_orderdate,"
+    "         ROW_NUMBER() OVER (PARTITION BY e.event_id"
+    "           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn"
+    "  FROM events e LEFT JOIN orders o"
+    "    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts"
+    ") WHERE rn = 1",
+)
+def asof_join_latest_order(sf_dir: str):
+    """As-of join: each event picks the key's most recent order at or
+    before the event timestamp (ties on o_orderdate break to the max
+    o_orderkey; events with no prior order keep nulls — LEFT
+    semantics). Both sides hash-shuffle on the key into one tagged
+    union; per partition ONE vectorized kernel: lexsort by (key, ts,
+    side) with orders before same-ts events, then a running cummax of
+    order-row indexes — an event's match is the latest order row above
+    it, validated by key equality (a cummax that leaks across a key
+    boundary fails the equality check and yields null). Zero per-key
+    Python; the shuffle carries only the join columns."""
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        key = t.column("user_id").to_numpy()
+        n = len(t)
+        return pa.table(
+            {
+                "part": pa.array(_part_of_int(key), pa.int64()),
+                "key": t.column("user_id"),
+                "ts": t.column("ts"),
+                "side": pa.array(np.ones(n, np.int8)),
+                "event_id": t.column("event_id"),
+                "o_orderkey": pa.nulls(n, pa.int64()),
+            }
+        )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = t.column("o_custkey").to_numpy()
+        n = len(t)
+        return pa.table(
+            {
+                "part": pa.array(_part_of_int(key), pa.int64()),
+                "key": t.column("o_custkey"),
+                "ts": t.column("o_orderdate"),
+                "side": pa.array(np.zeros(n, np.int8)),
+                "event_id": pa.nulls(n, pa.int64()),
+                "o_orderkey": t.column("o_orderkey"),
+            }
+        )
+
+    def asof(t: pa.Table) -> pa.Table:
+        key = t.column("key").to_numpy()
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        side = t.column("side").to_numpy()
+        okey = pc.fill_null(t.column("o_orderkey"), -1).to_numpy()
+        # orders (side 0) before events (side 1) at equal (key, ts)
+        # => an order AT the event's own timestamp is visible to it;
+        # among same-(key, ts) orders the larger o_orderkey sorts
+        # later and wins the cummax (accumulate keeps the max INDEX,
+        # and ascending-okey order puts the max okey last in the tie).
+        order = np.lexsort((okey, side, ts, key))
+        key, ts, side = key[order], ts[order], side[order]
+        idx = np.arange(len(key), dtype=np.int64)
+        last_order = np.maximum.accumulate(np.where(side == 0, idx, -1))
+        ev = np.flatnonzero(side == 1)
+        match = last_order[ev]
+        valid = (match >= 0) & (key[match.clip(min=0)] == key[ev])
+        match_idx = pa.array(
+            np.where(valid, match, -1), pa.int64(), mask=~valid
+        )
+        sorted_t = t.take(pa.array(order, pa.int64()))
+        ev_idx = pa.array(ev, pa.int64())
+        return pa.table(
+            {
+                "event_id": sorted_t.column("event_id").take(ev_idx),
+                "user_id": sorted_t.column("key").take(ev_idx),
+                "ts": sorted_t.column("ts").take(ev_idx),
+                "asof_orderkey": sorted_t.column("o_orderkey").take(
+                    match_idx
+                ),
+                "asof_orderdate": sorted_t.column("ts").take(match_idx),
+            }
+        )
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        tag_events, batch_format="pyarrow"
+    )
+    od = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(tag_orders, batch_format="pyarrow")
+    return (
+        ev.union(od)
+        .groupby("part")
+        .map_groups(asof, batch_format="pyarrow")
+    )
+
+
+@query(
+    "range_join_order_events",
+    "SELECT o.o_orderkey, COUNT(e.event_id) AS n_events"
+    " FROM orders o LEFT JOIN events e"
+    "   ON e.user_id = o.o_custkey"
+    "  AND e.ts >= o.o_orderdate"
+    "  AND e.ts < o.o_orderdate + INTERVAL 7 DAY"
+    " GROUP BY o.o_orderkey",
+)
+def range_join_order_events(sf_dir: str):
+    """Range (interval) join: per order, the count of the customer's
+    events inside [o_orderdate, o_orderdate + 7 days). Keyed shuffle of
+    a tagged union; per partition ONE vectorized probe-row kernel: each
+    order contributes a lo and a hi probe row, the union lexsorts by
+    (key, ts, probes-before-equal-ts-events), and the per-order count
+    is the difference of the running event cumsum at its two probe
+    positions — same-key containment falls out of the sort order, so
+    there is no per-key loop and no pairwise expansion (the shuffle
+    carries O(orders + events) rows, never O(matches))."""
+    window_us = 7 * 24 * 3600 * 1_000_000
+
+    def probes(t: pa.Table) -> pa.Table:
+        key = t.column("o_custkey").to_numpy()
+        lo = t.column("o_orderdate").cast(pa.int64()).to_numpy()
+        okey = t.column("o_orderkey").to_numpy()
+        n = len(t)
+        return pa.table(
+            {
+                "part": pa.array(
+                    np.tile(_part_of_int(key), 2), pa.int64()
+                ),
+                "key": pa.array(np.tile(key, 2), pa.int64()),
+                "ts_us": pa.array(
+                    np.r_[lo, lo + window_us], pa.int64()
+                ),
+                "is_event": pa.array(np.zeros(2 * n, np.int8)),
+                # +orderkey = lo probe, -orderkey-1 = hi probe
+                "probe": pa.array(np.r_[okey, -okey - 1], pa.int64()),
+            }
+        )
+
+    def ev_rows(t: pa.Table) -> pa.Table:
+        key = t.column("user_id").to_numpy()
+        n = len(t)
+        return pa.table(
+            {
+                "part": pa.array(_part_of_int(key), pa.int64()),
+                "key": t.column("user_id"),
+                "ts_us": t.column("ts").cast(pa.int64()),
+                "is_event": pa.array(np.ones(n, np.int8)),
+                "probe": pa.nulls(n, pa.int64()),
+            }
+        )
+
+    def count_ranges(t: pa.Table) -> pa.Table:
+        key = t.column("key").to_numpy()
+        ts = t.column("ts_us").to_numpy()
+        is_ev = t.column("is_event").to_numpy()
+        probe = t.column("probe").to_numpy(zero_copy_only=False)
+        # probes before events at equal ts: lo probe at ts==lo counts
+        # the equal-ts event (inclusive lower bound); hi probe at
+        # ts==hi excludes it (exclusive upper bound).
+        order = np.lexsort((is_ev, ts, key))
+        cum = np.cumsum(is_ev[order])
+        probe_sorted = probe[order]
+        pmask = is_ev[order] == 0
+        pcode = probe_sorted[pmask].astype(np.int64)
+        pcum = cum[pmask]
+        is_lo = pcode >= 0
+        okeys = np.where(is_lo, pcode, -pcode - 1)
+        # align lo and hi readings per order key via argsort
+        lo_order = np.argsort(okeys[is_lo], kind="stable")
+        hi_order = np.argsort(okeys[~is_lo], kind="stable")
+        n_events = pcum[~is_lo][hi_order] - pcum[is_lo][lo_order]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    okeys[is_lo][lo_order], pa.int64()
+                ),
+                "n_events": pa.array(n_events, pa.int64()),
+            }
+        )
+
+    od = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(probes, batch_format="pyarrow")
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        ev_rows, batch_format="pyarrow"
+    )
+    return (
+        od.union(ev)
+        .groupby("part")
+        .map_groups(count_ranges, batch_format="pyarrow")
+    )
+
+
+@query(
+    "window_hopping_counts",
+    "SELECT make_timestamp((epoch_us(ts) // 900000000 - i) * 900000000)"
+    "         AS window_start,"
+    "       event_type, COUNT(*) AS n"
+    " FROM events, (SELECT UNNEST(range(4)) AS i) g"
+    " GROUP BY 1, 2",
+)
+def window_hopping_counts(sf_dir: str):
+    """Hopping-window aggregate: event counts per (1-hour window
+    hopping every 15 minutes, event_type) — each event lands in
+    window_size/hop = 4 overlapping windows. The 4x expansion is
+    pre-aggregated INSIDE each batch (Arrow group_by on the emitted
+    (window_start, event_type) pairs), so the shuffle carries one
+    partial row per distinct pair per batch, not 4x the events — the
+    combiner-before-groupby pattern every windowed aggregate at 100 TB
+    needs."""
+    from ray.data.aggregate import Sum
+
+    hop_us = 15 * 60 * 1_000_000
+    fanout = 4  # window 1h / hop 15min
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").cast(pa.int64()).to_numpy()
+        base = ts // hop_us
+        ws = (
+            (base[:, None] - np.arange(fanout, dtype=np.int64)[None, :])
+            * hop_us
+        ).ravel()
+        etype = t.column("event_type").take(
+            pa.array(np.repeat(np.arange(len(ts)), fanout), pa.int64())
+        )
+        exploded = pa.table(
+            {
+                "window_start": pa.array(ws, pa.int64()).cast(
+                    pa.timestamp("us")
+                ),
+                "event_type": etype,
+            }
+        )
+        part = exploded.group_by(
+            ["window_start", "event_type"]
+        ).aggregate([([], "count_all")])
+        return part.rename_columns(
+            ["window_start", "event_type", "partial_n"]
+        )
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .aggregate(Sum("partial_n", alias_name="n"))
+    )
+    return out

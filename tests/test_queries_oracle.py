@@ -54,11 +54,11 @@ def registry(ray_session):
 
 def test_all_queries_have_callables(registry):
     queries, oracles = registry
-    assert len(queries) >= 34
+    assert len(queries) >= 38
     assert set(oracles) <= set(queries)
     # every query hash-checks against DuckDB; a regression that
     # silently drops a query to rows-only should fail here
-    assert len(oracles) >= 34
+    assert len(oracles) >= 38
 
 
 @pytest.mark.parametrize(
@@ -74,6 +74,8 @@ def test_all_queries_have_callables(registry):
         "embedding_near_dup", "langid_heuristic", "doc_fingerprints",
         "simhash_fingerprints", "ngram_jaccard_topk", "minhash_lsh_dupes",
         "knn_lsh", "knn_ivf", "embedding_near_dup_lsh",
+        "asof_join_latest_order", "range_join_order_events",
+        "window_hopping_counts",
     ],
 )
 def test_query_matches_oracle(registry, con, name):
