@@ -51,6 +51,8 @@ QUERY_NAMES = [
     "metrics_rollup",
     "knn_cosine",
     "minhash_lsh_dupes",
+    "asof_join_latest_order",
+    "window_hopping_counts",
 ]
 
 

@@ -1614,3 +1614,134 @@ def multimodal_payload_stats(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         payload_stats, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-set assembly operators: sequence packing (a distributed
+# prefix-sum / scan — a primitive Ray Data has no native operator for)
+# and the deterministic train/val/test hash split.
+# ---------------------------------------------------------------------------
+
+_PACK_CAP = 4096  # tokens per packed context window
+_PACK_RANGE = 1024  # doc_ids per scan range (see pack_sequences)
+
+
+@query(
+    "pack_sequences",
+    "SELECT doc_id, n_tokens, "
+    "CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+    f"// {_PACK_CAP} AS BIGINT) AS bin_id FROM ("
+    "SELECT doc_id, "
+    f"LEN(regexp_extract_all(text, '{TOKEN_REGEX_SQL}')) AS n_tokens "
+    "FROM documents)",
+)
+def pack_sequences(sf_dir: str):
+    """Sequence packing: assign documents (in doc_id order) to fixed
+    4096-token context-window bins by cumulative token quota — the
+    deterministic packing a training-data loader shards by. The core
+    is a DISTRIBUTED PREFIX SUM, which Ray Data has no operator for:
+
+      pass 0  tokenize once into a (doc_id, n_tokens) table and
+              materialize it (~16 B/row — three orders of magnitude
+              smaller than the text; spillable at any corpus size),
+      pass 1  per-range token sums (range = doc_id // 1024) partial-
+              aggregated inside each batch, combined into ONE tiny
+              driver table (one row per 1024 docs — bounded, and the
+              range width scales up with the corpus to keep it so),
+      pass 2  exclusive per-range offsets broadcast via ray.put; a
+              keyed shuffle on range_id and one vectorized in-range
+              cumsum per group completes the global scan.
+
+    No stage ever holds more than one range's rows + the offset
+    array; the text column never reaches the shuffle."""
+    import ray
+
+    def tok(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(
+                    token_counts_batch(t.column("text").to_pylist()),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    toks = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(tok, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def range_sums(t: pa.Table) -> pa.Table:
+        rid = t.column("doc_id").to_numpy() // _PACK_RANGE
+        part = pa.table(
+            {"range_id": pa.array(rid, pa.int64()), "tok": t["n_tokens"]}
+        ).group_by("range_id").aggregate([("tok", "sum")])
+        return part.rename_columns(["range_id", "tok_sum"])
+
+    partials = toks.map_batches(
+        range_sums, batch_format="pyarrow"
+    ).to_pandas()  # bounded: one row per range per batch
+    per_range = partials.groupby("range_id")["tok_sum"].sum()
+    n_ranges = int(per_range.index.max()) + 1 if len(per_range) else 0
+    dense = np.zeros(n_ranges, np.int64)
+    dense[per_range.index.to_numpy()] = per_range.to_numpy()
+    offsets = np.r_[0, np.cumsum(dense)[:-1]]  # exclusive prefix
+    off_ref = ray.put(offsets)
+
+    def add_rid(t: pa.Table) -> pa.Table:
+        rid = t.column("doc_id").to_numpy() // _PACK_RANGE
+        return t.append_column("range_id", pa.array(rid, pa.int64()))
+
+    def assign(g: pa.Table) -> pa.Table:
+        off = ray.get(off_ref)
+        order = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
+        g = g.take(order)
+        ntok = g.column("n_tokens").to_numpy()
+        rid = int(g.column("range_id")[0].as_py())
+        prior = np.cumsum(ntok) - ntok + off[rid]
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "n_tokens": g["n_tokens"],
+                "bin_id": pa.array(prior // _PACK_CAP, pa.int64()),
+            }
+        )
+
+    return (
+        toks.map_batches(add_rid, batch_format="pyarrow")
+        .groupby("range_id")
+        .map_groups(assign, batch_format="pyarrow")
+    )
+
+
+@query(
+    "dataset_split_hash",
+    "SELECT doc_id, CASE "
+    "((CAST(doc_id AS HUGEINT) * 2654435761) "
+    "% 18446744073709551616) % 4294967296 % 10 "
+    "WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END AS split "
+    "FROM documents",
+)
+def dataset_split_hash(sf_dir: str):
+    """Deterministic train/val/test split (80/10/10) by multiplicative
+    hash of the document id — stable under any row order, resharding,
+    or incremental append, which is why a hash split (not
+    random_shuffle + slice) is the right split operator at corpus
+    scale. Pure per-batch projection; no shuffle at all."""
+
+    def split(t: pa.Table) -> pa.Table:
+        k = t.column("doc_id").to_numpy().astype(np.uint64)
+        h = ((k * np.uint64(2654435761)) % np.uint64(2**32)) % np.uint64(
+            10
+        )
+        lab = np.where(h == 0, "test", np.where(h == 1, "val", "train"))
+        return pa.table(
+            {"doc_id": t["doc_id"], "split": pa.array(lab, pa.string())}
+        )
+
+    return _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        split, batch_format="pyarrow"
+    )
