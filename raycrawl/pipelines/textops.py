@@ -1745,3 +1745,149 @@ def dataset_split_hash(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id"]).map_batches(
         split, batch_format="pyarrow"
     )
+
+
+_BENCH_MOD = 97  # doc_id % 97 == 0 docs form the held-out benchmark
+
+
+@query(
+    "decontaminate_overlap",
+    # exact twin: the trigram->uint64 code is bijective with the
+    # 3-char substring (see ngram_jaccard_topk), so DISTINCT counts
+    # and hence the integer containment test match exactly; the
+    # contaminated flag compares n_hit*5 >= n_grams*4 (0.8 as a
+    # ratio of ints) on both sides, no float threshold in the hash.
+    f"""
+    WITH tri AS (
+      SELECT doc_id,
+        unnest(list_distinct(list_transform(range(1, length(text) - 1),
+               i -> substr(text, CAST(i AS INT), 3)))) AS g
+      FROM documents
+    ),
+    bench AS (SELECT DISTINCT g FROM tri WHERE doc_id % {_BENCH_MOD} = 0),
+    c AS (
+      SELECT t.doc_id, COUNT(*) AS n_grams, COUNT(b.g) AS n_hit
+      FROM tri t LEFT JOIN bench b USING (g)
+      WHERE t.doc_id % {_BENCH_MOD} <> 0
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(n_hit AS DOUBLE) / n_grams AS containment,
+           n_hit * 5 >= n_grams * 4 AS contaminated
+    FROM c
+    """,
+)
+def decontaminate_overlap(sf_dir: str):
+    """Benchmark decontamination: flag training documents whose char
+    3-gram sets are mostly contained in a held-out benchmark split
+    (here the deterministic ``doc_id % 97 == 0`` docs — standing in
+    for an eval set, which is tiny relative to the corpus by
+    definition). Two passes:
+
+      pass 1  distributed benchmark-vocab build — a map_batches that
+              keeps only benchmark rows and emits their per-batch
+              UNIQUE trigram codes; the driver unions them (bounded
+              by the benchmark's trigram vocabulary, not the corpus)
+              and broadcasts ONE sorted uint64 array via ray.put,
+      pass 2  per-batch containment — every non-benchmark doc's codes
+              are concatenated and probed with ONE searchsorted into
+              the vocab, per-doc hit counts reduced with ONE
+              np.add.reduceat (the ngram_jaccard_topk kernel shape).
+
+    Output: (doc_id, n_grams, n_hit, containment, contaminated) with
+    contaminated = containment >= 0.8 decided in integer arithmetic.
+    Docs shorter than 3 chars would diverge from the SQL twin exactly
+    as documented on ngram_jaccard_topk; none exist in the corpus."""
+    import ray
+
+    from ..functions.dedup import char_trigram_codes
+
+    def bench_codes(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        rows = np.flatnonzero(ids % _BENCH_MOD == 0)
+        if not rows.size:
+            return pa.table({"g": pa.array([], pa.uint64())})
+        texts = t.column("text").to_pylist()
+        parts = [char_trigram_codes(texts[i]) for i in rows]
+        return pa.table(
+            {"g": pa.array(np.unique(np.concatenate(parts)), pa.uint64())}
+        )
+
+    parts = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(bench_codes, batch_format="pyarrow")
+        .to_pandas()  # bounded: benchmark trigram vocab only
+    )
+    vocab = np.unique(parts["g"].to_numpy().astype(np.uint64))
+    bcast = ray.put(vocab)
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab = ray.get(bcast)
+        ids = t.column("doc_id").to_numpy()
+        keep = np.flatnonzero(ids % _BENCH_MOD != 0)
+        texts = t.column("text").to_pylist()
+        codes_list = [char_trigram_codes(texts[i]) for i in keep]
+        lens = np.array([len(c) for c in codes_list], dtype=np.int64)
+        n_hit = np.zeros(len(keep), dtype=np.int64)
+        nz = np.flatnonzero(lens)
+        if nz.size and len(vocab):
+            allcodes = np.concatenate([codes_list[i] for i in nz])
+            pos = np.minimum(
+                np.searchsorted(vocab, allcodes), len(vocab) - 1
+            )
+            hits = (vocab[pos] == allcodes).astype(np.int64)
+            bounds = np.r_[0, np.cumsum(lens[nz])[:-1]]
+            n_hit[nz] = np.add.reduceat(hits, bounds)
+        safe = np.maximum(lens, 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_grams": pa.array(lens, pa.int64()),
+                "n_hit": pa.array(n_hit, pa.int64()),
+                "containment": pa.array(n_hit / safe, pa.float64()),
+                "contaminated": pa.array(n_hit * 5 >= lens * 4),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+
+
+# per-language keep rates: downsample over-represented languages
+# toward a balanced mix; rates are exact 32-bit thresholds so the
+# SQL twin compares the same integers (0.25 -> 2^30, 0.5 -> 2^31)
+_MIX_THRESHOLDS = {"en": 1 << 30, "zh": 1 << 31}
+
+
+@query(
+    "domain_mix_sample",
+    "SELECT doc_id, lang FROM documents "
+    "WHERE ((CAST(doc_id AS HUGEINT) * 2654435761) % 4294967296) "
+    "< CASE lang WHEN 'en' THEN 1073741824 "
+    "WHEN 'zh' THEN 2147483648 ELSE 4294967296 END",
+)
+def domain_mix_sample(sf_dir: str):
+    """Domain-mix rebalancing: deterministic per-language Bernoulli
+    downsampling (en keeps 25%, zh 50%, everything else 100%) via the
+    same multiplicative hash as dataset_split_hash — each document's
+    keep/drop decision depends only on its id, so the mix is stable
+    under resharding, append, and re-runs, and composes with the
+    train/val/test split (independent hash uses). Pure per-batch
+    filter + projection; no shuffle, nothing materializes."""
+
+    def samp(t: pa.Table) -> pa.Table:
+        k = t.column("doc_id").to_numpy().astype(np.uint64)
+        h = (k * np.uint64(2654435761)) % np.uint64(2**32)
+        lang = t.column("lang").to_numpy(zero_copy_only=False)
+        thr = np.full(len(k), 1 << 32, dtype=np.uint64)
+        for lg, bound in _MIX_THRESHOLDS.items():
+            thr[lang == lg] = bound
+        return pa.table(
+            {"doc_id": t["doc_id"], "lang": t["lang"]}
+        ).filter(pa.array(h < thr))
+
+    return _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
+        samp, batch_format="pyarrow"
+    )
