@@ -1747,6 +1747,74 @@ def dataset_split_hash(sf_dir: str):
     )
 
 
+@query(
+    "repetition_ratio",
+    # exact twin: total trigrams = length-2 (unicode code points on
+    # both sides), distinct via the bijective trigram mapping; the
+    # repetitive flag is integer arithmetic ((n_tri-n_distinct)*5 >
+    # n_tri*3, i.e. ratio > 0.6 — the top decile of this corpus's
+    # distribution), and the double ratio is the same 1 - d/t IEEE
+    # expression in both engines.
+    """
+    SELECT doc_id, n_tri, n_distinct,
+           1.0 - CAST(n_distinct AS DOUBLE) / n_tri AS rep_ratio,
+           (n_tri - n_distinct) * 5 > n_tri * 3 AS repetitive
+    FROM (
+      SELECT doc_id, CAST(length(text) - 2 AS BIGINT) AS n_tri,
+        CAST(len(list_distinct(list_transform(
+             range(1, length(text) - 1),
+             i -> substr(text, CAST(i AS INT), 3)))) AS BIGINT)
+          AS n_distinct
+      FROM documents
+    )
+    """,
+)
+def repetition_ratio(sf_dir: str):
+    """Intra-document repetition signal (the Gopher-style quality
+    filter): fraction of a document's char 3-grams that are repeats
+    of an earlier one — boilerplate, keyword stuffing, and template
+    spam score high. Total trigram count is computed from the string
+    length (no materialized n-gram list); the distinct count reuses
+    the bijective trigram-code kernel, so the per-batch work is one
+    utf8_length plus one np.unique per doc — the same digest-style
+    cost profile as the fingerprint ops. Pure map_batches, no
+    shuffle. Docs shorter than 3 chars would diverge from the twin
+    exactly as documented on ngram_jaccard_topk; none exist."""
+
+    from ..functions.dedup import char_trigram_codes
+
+    def rep(t: pa.Table) -> pa.Table:
+        n_tri = (
+            pc.utf8_length(t.column("text")).to_numpy().astype(np.int64)
+            - 2
+        )
+        n_distinct = np.array(
+            [
+                len(char_trigram_codes(x))
+                for x in t.column("text").to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        safe = np.maximum(n_tri, 1)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tri": pa.array(n_tri, pa.int64()),
+                "n_distinct": pa.array(n_distinct, pa.int64()),
+                "rep_ratio": pa.array(
+                    1.0 - n_distinct / safe, pa.float64()
+                ),
+                "repetitive": pa.array(
+                    (n_tri - n_distinct) * 5 > n_tri * 3
+                ),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        rep, batch_format="pyarrow"
+    )
+
+
 _BENCH_MOD = 97  # doc_id % 97 == 0 docs form the held-out benchmark
 
 
