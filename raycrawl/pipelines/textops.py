@@ -1626,6 +1626,21 @@ _PACK_CAP = 4096  # tokens per packed context window
 _PACK_RANGE = 1024  # doc_ids per scan range (see pack_sequences)
 
 
+def _scan_width(max_id: int, base: int | None = None, max_ranges: int = 1 << 16) -> int:
+    """Width (doc_ids per range) of the pack_sequences scan
+    decomposition: the smallest power-of-two multiple of `base` that
+    keeps the number of ranges — and so the driver-side offset combine
+    — at or under `max_ranges` rows for any corpus size. The packing
+    result is invariant to this choice (tested); only the combine size
+    and shuffle fan-in depend on it."""
+    if base is None:
+        base = _PACK_RANGE
+    width = base
+    while (max_id + 1) > width * max_ranges:
+        width <<= 1
+    return width
+
+
 @query(
     "pack_sequences",
     "SELECT doc_id, n_tokens, "
@@ -1645,10 +1660,13 @@ def pack_sequences(sf_dir: str):
       pass 0  tokenize once into a (doc_id, n_tokens) table and
               materialize it (~16 B/row — three orders of magnitude
               smaller than the text; spillable at any corpus size),
-      pass 1  per-range token sums (range = doc_id // 1024) partial-
+      pass 1  per-range token sums (range = doc_id // width) partial-
               aggregated inside each batch, combined into ONE tiny
-              driver table (one row per 1024 docs — bounded, and the
-              range width scales up with the corpus to keep it so),
+              driver table — the range width is derived from the max
+              doc_id so the driver combine stays <= ~64k rows at ANY
+              corpus size (1024 ids/range at small scale, growing in
+              powers of two; the bin assignment is invariant to the
+              decomposition width),
       pass 2  exclusive per-range offsets broadcast via ray.put; a
               keyed shuffle on range_id and one vectorized in-range
               cumsum per group completes the global scan.
@@ -1674,8 +1692,13 @@ def pack_sequences(sf_dir: str):
         .materialize()
     )
 
+    # range width derived from the corpus (streaming max over the
+    # materialized 16 B/row table — no extra tokenize); see _scan_width
+    max_id = int(toks.max("doc_id") or 0)
+    width = _scan_width(max_id)
+
     def range_sums(t: pa.Table) -> pa.Table:
-        rid = t.column("doc_id").to_numpy() // _PACK_RANGE
+        rid = t.column("doc_id").to_numpy() // width
         part = pa.table(
             {"range_id": pa.array(rid, pa.int64()), "tok": t["n_tokens"]}
         ).group_by("range_id").aggregate([("tok", "sum")])
@@ -1692,7 +1715,7 @@ def pack_sequences(sf_dir: str):
     off_ref = ray.put(offsets)
 
     def add_rid(t: pa.Table) -> pa.Table:
-        rid = t.column("doc_id").to_numpy() // _PACK_RANGE
+        rid = t.column("doc_id").to_numpy() // width
         return t.append_column("range_id", pa.array(rid, pa.int64()))
 
     def assign(g: pa.Table) -> pa.Table:

@@ -284,3 +284,33 @@ def test_minhash_hot_bucket_bounded(ray_session, tmp_path):
     # bound: ~1.1M pairs scored via the chunked numpy tensor — seconds,
     # not the minutes the per-pair Python loop would take
     assert wall < 60, f"hot bucket took {wall:.1f}s"
+
+
+def test_scan_width_bounds_driver_combine():
+    """_scan_width must keep the pack_sequences offset combine at or
+    under 64k ranges for ANY corpus size, growing in powers of two of
+    the base width."""
+    from raycrawl.pipelines.textops import _PACK_RANGE, _scan_width
+
+    assert _scan_width(0) == _PACK_RANGE
+    assert _scan_width(_PACK_RANGE * (1 << 16) - 1) == _PACK_RANGE
+    assert _scan_width(_PACK_RANGE * (1 << 16)) == _PACK_RANGE * 2
+    for max_id in (10**7, 10**9, 10**10, 10**12):
+        w = _scan_width(max_id)
+        assert (max_id + 1) <= w * (1 << 16)          # combine bounded
+        assert w % _PACK_RANGE == 0 and (w // _PACK_RANGE) & (w // _PACK_RANGE - 1) == 0
+
+
+def test_pack_sequences_invariant_to_scan_width(ray_session, monkeypatch):
+    """The packing assignment is a pure function of (doc_id order,
+    n_tokens, cap) — the scan decomposition width must not leak into
+    the result. Run the same corpus at base widths 16 and 4096 and
+    require identical bin assignments."""
+    import raycrawl.pipelines.textops as t
+
+    outs = []
+    for base in (16, 4096):
+        monkeypatch.setattr(t, "_PACK_RANGE", base)
+        df = t.pack_sequences(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        outs.append(df)
+    assert outs[0].equals(outs[1])
