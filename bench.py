@@ -51,6 +51,7 @@ QUERY_NAMES = [
     "metrics_rollup",
     "knn_cosine",
     "minhash_lsh_dupes",
+    "near_dup_clusters",
     "asof_join_latest_order",
     "window_hopping_counts",
 ]

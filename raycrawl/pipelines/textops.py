@@ -1982,3 +1982,232 @@ def domain_mix_sample(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "lang"]).map_batches(
         samp, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup connected components: pairs -> duplicate clusters. The step a
+# training pipeline runs between pair detection and row dropping — keep
+# one representative per CLUSTER, not per pair (pairwise keep-first
+# over-deletes on chains A~B, B~C). Reference analogue: none (the
+# crawler stops at document identity); this is a training-data-pipeline
+# addition, like the MinHash pair stage it consumes.
+# ---------------------------------------------------------------------------
+
+_CC_MAX_ROUNDS = 64  # loud diameter guard (see near_dup_clusters)
+
+
+def _cc_part(keys: np.ndarray, parts: int) -> np.ndarray:
+    """Hash partition of an int64 node id (multiplicative mix — a pure
+    function of the key, so equal keys co-locate; same contract as the
+    minhash band-key partition)."""
+    h = (keys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    h ^= h >> np.uint64(33)
+    return (h % np.uint64(parts)).astype(np.int64)
+
+
+def _connected_components(pairs, parts: int):
+    """Distributed connected components over an undirected edge
+    Dataset ``(doc_a, doc_b)`` -> Dataset ``(key, val)`` where, for
+    every node appearing in an edge, the per-key MIN of ``val`` is the
+    component's minimum member id.
+
+    Iterative min-label propagation with the label table KEYED LIKE THE
+    EDGES so each round is ONE hash-partitioned groupby (no join
+    operator needed):
+
+      state   edge rows (key=v, val=u, is_edge=1) both directions,
+              materialized once; label rows (key=v, val=lab, is_edge=0)
+              from the previous round.
+      round   groupby(part); inside a partition the runs of the sorted
+              key are vectorized with ONE minimum.reduceat:
+              lab(v) = min(v, every val in v's group) — edge vals are
+              neighbor IDS (always >= their own label, so folding them
+              into the min is sound and makes round 1 seed-free);
+              emit (v, lab) plus (u, lab) for every neighbor u.
+      stop    sum(labels.val) is strictly decreasing until the
+              fixpoint (each round emits exactly 1+deg(v) rows per
+              node, so the sum is a monotone function of the lab
+              vector): iterate until it holds still.
+
+    Per-round shuffle volume is O(edges) — the DUP SUBGRAPH only, never
+    the corpus — and rounds are bounded by the component diameter + 1.
+    Near-dup components are band-collision cliques stitched into short
+    chains, so the diameter is small by construction; a corpus that
+    somehow chains deeper than _CC_MAX_ROUNDS fails loudly rather than
+    converging silently wrong."""
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        a = t.column("doc_a").to_numpy()
+        b = t.column("doc_b").to_numpy()
+        key = np.concatenate((a, b))
+        val = np.concatenate((b, a))
+        return pa.table(
+            {
+                "key": pa.array(key, pa.int64()),
+                "val": pa.array(val, pa.int64()),
+                "is_edge": pa.array(np.ones(key.size, np.int8), pa.int8()),
+                "part": pa.array(_cc_part(key, parts), pa.int64()),
+            }
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+
+    def relax_part(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("key", "ascending")])
+        g = g.take(order)
+        keys = g.column("key").to_numpy()
+        vals = g.column("val").to_numpy()
+        is_e = g.column("is_edge").to_numpy()
+        starts = np.r_[0, np.flatnonzero(keys[1:] != keys[:-1]) + 1]
+        run_min = np.minimum(
+            np.minimum.reduceat(vals, starts), keys[starts]
+        )
+        lens = np.diff(np.r_[starts, keys.size])
+        lab_row = np.repeat(run_min, lens)
+        nbr = is_e == 1
+        out_key = np.concatenate((keys[starts], vals[nbr]))
+        out_val = np.concatenate((run_min, lab_row[nbr]))
+        return pa.table(
+            {
+                "key": pa.array(out_key, pa.int64()),
+                "val": pa.array(out_val, pa.int64()),
+                "is_edge": pa.array(
+                    np.zeros(out_key.size, np.int8), pa.int8()
+                ),
+                "part": pa.array(_cc_part(out_key, parts), pa.int64()),
+            }
+        )
+
+    labels = (
+        edges.groupby("part", num_partitions=parts)
+        .map_groups(relax_part, batch_format="pyarrow")
+    ).materialize()
+    prev = labels.sum("val")
+    for _ in range(_CC_MAX_ROUNDS):
+        labels = (
+            edges.union(labels)
+            .groupby("part", num_partitions=parts)
+            .map_groups(relax_part, batch_format="pyarrow")
+        ).materialize()
+        cur = labels.sum("val")
+        if cur == prev:
+            return labels.select_columns(["key", "val", "part"])
+        prev = cur
+    raise RuntimeError(
+        f"connected components did not converge in {_CC_MAX_ROUNDS} "
+        "rounds — component diameter exceeds the near-dup assumption"
+    )
+
+
+def _clusters_oracle_sql() -> str:
+    """Recursive-CTE twin: l is in reach(v) iff l is in v's component
+    (UNION gives set semantics, so cycles terminate); cluster_id is the
+    min reachable id, seeded with (v, v) for every document so
+    singleton docs are their own cluster."""
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+    e AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(v, l) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.l FROM reach r JOIN e ON e.a = r.v
+    )
+    SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v
+    """
+
+
+@query("near_dup_clusters", _clusters_oracle_sql())
+def near_dup_clusters(sf_dir: str):
+    """Duplicate clusters from the MinHash-LSH near-dup pairs: every
+    document labeled with the minimum doc_id of its connected
+    component (cluster_id == doc_id for the keeper and for every
+    unduplicated doc). The component loop (_connected_components) runs
+    on the DUP SUBGRAPH only — per-round shuffle is O(near-dup edges);
+    the corpus-wide cost is one projection plus ONE hash-partitioned
+    min-merge at the end (the text_exact_dedup keep-first pattern:
+    vectorized Arrow group_by per partition). Composes the pair stage
+    unchanged, so the pair semantics stay oracle-identical."""
+    parts = _pool_size()
+    labels = _connected_components(minhash_lsh_dupes(sf_dir), parts)
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "key": t["doc_id"],
+                "val": t["doc_id"],
+                "part": pa.array(_cc_part(ids, parts), pa.int64()),
+            }
+        )
+
+    docs = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        doc_rows, batch_format="pyarrow"
+    )
+
+    def min_per_key(g: pa.Table) -> pa.Table:
+        out = g.group_by("key").aggregate([("val", "min")])
+        return pa.table(
+            {
+                "doc_id": out["key"],
+                "cluster_id": out["val_min"],
+            }
+        )
+
+    return (
+        docs.union(labels)
+        .groupby("part", num_partitions=parts)
+        .map_groups(min_per_key, batch_format="pyarrow")
+    )
+
+
+@query(
+    "cluster_aware_split",
+    # twin: the cluster CTE chain above + the dataset_split_hash CASE
+    # applied to cluster_id instead of doc_id
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+    e AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(v, l) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.l FROM reach r JOIN e ON e.a = r.v
+    ),
+    cl AS (SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v)
+    SELECT doc_id, cluster_id, CASE
+      ((CAST(cluster_id AS HUGEINT) * 2654435761)
+       % 18446744073709551616) % 4294967296 % 10
+      WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END AS split
+    FROM cl
+    """,
+)
+def cluster_aware_split(sf_dir: str):
+    """Leakage-safe train/val/test split: hash the near-dup CLUSTER id
+    instead of the doc id, so near-duplicate documents can never
+    straddle train and test (the standard contamination hole in a
+    per-document hash split). Pure per-batch projection on top of
+    near_dup_clusters — same multiplicative hash and 80/10/10 CASE as
+    dataset_split_hash, same determinism under resharding/append."""
+
+    def split(t: pa.Table) -> pa.Table:
+        k = t.column("cluster_id").to_numpy().astype(np.uint64)
+        h = ((k * np.uint64(2654435761)) % np.uint64(2**32)) % np.uint64(10)
+        lab = np.where(h == 0, "test", np.where(h == 1, "val", "train"))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "cluster_id": t["cluster_id"],
+                "split": pa.array(lab, pa.string()),
+            }
+        )
+
+    return near_dup_clusters(sf_dir).map_batches(
+        split, batch_format="pyarrow"
+    )

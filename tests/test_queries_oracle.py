@@ -54,11 +54,11 @@ def registry(ray_session):
 
 def test_all_queries_have_callables(registry):
     queries, oracles = registry
-    assert len(queries) >= 43
+    assert len(queries) >= 45
     assert set(oracles) <= set(queries)
     # every query hash-checks against DuckDB; a regression that
     # silently drops a query to rows-only should fail here
-    assert len(oracles) >= 43
+    assert len(oracles) >= 45
 
 
 @pytest.mark.parametrize(
@@ -77,6 +77,7 @@ def test_all_queries_have_callables(registry):
         "asof_join_latest_order", "range_join_order_events",
         "window_hopping_counts", "pack_sequences", "dataset_split_hash",
         "decontaminate_overlap", "domain_mix_sample", "repetition_ratio",
+        "near_dup_clusters", "cluster_aware_split",
     ],
 )
 def test_query_matches_oracle(registry, con, name):

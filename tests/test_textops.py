@@ -314,3 +314,56 @@ def test_pack_sequences_invariant_to_scan_width(ray_session, monkeypatch):
         df = t.pack_sequences(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
         outs.append(df)
     assert outs[0].equals(outs[1])
+
+
+def test_connected_components_chain_and_clique(ray_session):
+    """Multi-round propagation: a 12-node path (diameter 11 — needs
+    ~11 rounds, so the convergence loop is really exercised; the sf
+    corpora's LSH clusters are near-cliques that converge in 2), plus
+    a disjoint triangle, plus an isolated pair. Per-key min of the
+    returned labels must be the component minimum for every node."""
+    import pyarrow as pa
+    import ray.data
+
+    from raycrawl.pipelines.textops import _connected_components
+
+    chain = [(i, i + 1) for i in range(100, 111)]
+    tri = [(7, 3), (3, 5), (5, 7)]
+    pair = [(901, 900)]
+    edges = chain + tri + pair
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+                "doc_b": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+    )
+    labels = _connected_components(pairs, parts=4).to_pandas()
+    got = labels.groupby("key")["val"].min().to_dict()
+    want = {**{i: 100 for i in range(100, 112)},
+            **{3: 3, 5: 3, 7: 3}, 900: 900, 901: 900}
+    assert got == want
+
+
+def test_connected_components_diameter_guard(ray_session, monkeypatch):
+    """A graph deeper than the round cap must fail loudly, not return
+    a partially-propagated labeling."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    import raycrawl.pipelines.textops as t
+
+    monkeypatch.setattr(t, "_CC_MAX_ROUNDS", 3)
+    chain = [(i, i + 1) for i in range(20)]
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([a for a, _ in chain], pa.int64()),
+                "doc_b": pa.array([b for _, b in chain], pa.int64()),
+            }
+        )
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        t._connected_components(pairs, parts=2)
