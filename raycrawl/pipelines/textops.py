@@ -34,6 +34,7 @@ from ..functions.similarity import (
 from ..functions.textstats import (
     PUNCT_REGEX_SQL,
     TOKEN_REGEX_SQL,
+    WORD_REGEX,
     WORD_REGEX_SQL,
     fingerprints_batch,
     langid,
@@ -2210,4 +2211,190 @@ def cluster_aware_split(sf_dir: str):
 
     return near_dup_clusters(sf_dir).map_batches(
         split, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics: inverted-index term stats and corpus-frequency
+# document scoring (the tf-idf / importance-resampling foundations a
+# training-data pipeline selects on). Reference analogue: none — part
+# of the training-data operator family, like decontaminate_overlap.
+# ---------------------------------------------------------------------------
+
+
+def _term_part(terms: np.ndarray, parts: int) -> np.ndarray:
+    """Deterministic hash partition for string terms (crc32 — a pure
+    function of the term so equal terms co-locate; PYTHONHASHSEED-free
+    unlike hash())."""
+    import zlib
+
+    return np.array(
+        [zlib.crc32(t.encode("utf-8")) % parts for t in terms],
+        dtype=np.int64,
+    )
+
+
+@query(
+    "term_doc_frequency",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             UNNEST(regexp_extract_all(text, '{WORD_REGEX_SQL}')) AS term
+      FROM documents
+    )
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS cf,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM w GROUP BY term
+    """,
+)
+def term_doc_frequency(sf_dir: str):
+    """Inverted-index statistics: per term, collection frequency (cf =
+    total occurrences) and document frequency (df = docs containing) —
+    the inputs to every tf-idf / BM25-style selection score. Classic
+    pre-aggregate-then-shuffle: each batch emits ONE partial row per
+    distinct term it saw (cf via np.unique counts over the batch's
+    flattened words, df via per-doc uniques), so the shuffle carries
+    O(batches x batch-vocab) rows — vocabulary-sized, never
+    token-stream-sized — and the final combine is a vectorized Arrow
+    group_by sum per hash partition (the text_exact_dedup pattern)."""
+    parts = _pool_size()
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        per_doc = [WORD_REGEX.findall(x) for x in texts]
+        flat = np.concatenate(
+            [np.array(w, dtype=object) for w in per_doc if w]
+        ) if any(per_doc) else np.array([], dtype=object)
+        terms, cf = np.unique(flat.astype(str), return_counts=True)
+        doc_terms = np.concatenate(
+            [np.unique(np.array(w, dtype=str)) for w in per_doc if w]
+        ) if any(per_doc) else np.array([], dtype=str)
+        dterms, df = np.unique(doc_terms, return_counts=True)
+        # identical term sets by construction (df's terms are a subset
+        # of cf's with the same uniques); np.unique sorts both
+        return pa.table(
+            {
+                "term": pa.array(terms.tolist(), pa.string()),
+                "cf": pa.array(cf, pa.int64()),
+                "df": pa.array(df, pa.int64()),
+                "part": pa.array(_term_part(terms, parts), pa.int64()),
+            }
+        )
+
+    def combine(g: pa.Table) -> pa.Table:
+        out = g.group_by("term").aggregate([("cf", "sum"), ("df", "sum")])
+        return pa.table(
+            {
+                "term": out["term"],
+                "cf": out["cf_sum"],
+                "df": out["df_sum"],
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("part", num_partitions=parts)
+        .map_groups(combine, batch_format="pyarrow")
+    )
+
+
+@query(
+    "doc_commonness",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             UNNEST(regexp_extract_all(text, '{WORD_REGEX_SQL}')) AS term
+      FROM documents
+    ),
+    cf AS (SELECT term, COUNT(*) AS cf FROM w GROUP BY term)
+    SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(cf.cf) AS BIGINT) AS freq_sum,
+           CAST(MIN(cf.cf) AS BIGINT) AS rarest_cf
+    FROM w JOIN cf USING (term)
+    GROUP BY w.doc_id
+    """,
+)
+def doc_commonness(sf_dir: str):
+    """Corpus-frequency document scoring (the integer-exact core of a
+    DSIR-style importance signal): per document, the sum of corpus-wide
+    collection frequencies of its tokens and the frequency of its
+    rarest token — high sums flag boilerplate/template text, low
+    rarest_cf flags docs carrying rare vocabulary. Two passes:
+
+      pass 1  per-batch (term, cf) partials — vocabulary-sized, never
+              token-stream-sized — combined on the driver (bounded by
+              the corpus VOCABULARY, the same class of bounded combine
+              as decontaminate_overlap's benchmark vocab; ~10^7 terms
+              = ~100 MB at web scale) and broadcast ONCE via ray.put
+              as a sorted term array + aligned counts,
+      pass 2  per-batch scoring: each doc's words probe the vocab with
+              ONE searchsorted; per-doc sums/mins reduce with
+              np.add.reduceat / minimum.reduceat (the
+              decontaminate_overlap kernel shape).
+
+    Docs with zero words are absent from the output on both sides (the
+    SQL GROUP BY only sees docs with at least one token); none exist
+    in the corpus (min length asserted in tests)."""
+    import ray
+
+    def cf_partial(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        per_doc = [WORD_REGEX.findall(x) for x in texts]
+        flat = np.concatenate(
+            [np.array(w, dtype=str) for w in per_doc if w]
+        ) if any(per_doc) else np.array([], dtype=str)
+        terms, cf = np.unique(flat, return_counts=True)
+        return pa.table(
+            {
+                "term": pa.array(terms.tolist(), pa.string()),
+                "cf": pa.array(cf, pa.int64()),
+            }
+        )
+
+    partials = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(cf_partial, batch_format="pyarrow")
+        .to_pandas()  # bounded: corpus vocabulary only
+    )
+    agg = partials.groupby("term")["cf"].sum()
+    vocab = np.array(agg.index.to_numpy(), dtype=str)
+    order = np.argsort(vocab)
+    vocab, counts = vocab[order], agg.to_numpy()[order]
+    bcast = ray.put((vocab, counts))
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab, counts = ray.get(bcast)
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        per_doc = [WORD_REGEX.findall(x) for x in texts]
+        lens = np.array([len(w) for w in per_doc], dtype=np.int64)
+        keep = np.flatnonzero(lens)
+        if not keep.size:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_words": pa.array([], pa.int64()),
+                    "freq_sum": pa.array([], pa.int64()),
+                    "rarest_cf": pa.array([], pa.int64()),
+                }
+            )
+        flat = np.concatenate(
+            [np.array(per_doc[i], dtype=str) for i in keep]
+        )
+        f = counts[np.searchsorted(vocab, flat)]  # every word is in vocab
+        bounds = np.r_[0, np.cumsum(lens[keep])[:-1]]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_words": pa.array(lens[keep], pa.int64()),
+                "freq_sum": pa.array(np.add.reduceat(f, bounds), pa.int64()),
+                "rarest_cf": pa.array(
+                    np.minimum.reduceat(f, bounds), pa.int64()
+                ),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow"
     )

@@ -54,11 +54,11 @@ def registry(ray_session):
 
 def test_all_queries_have_callables(registry):
     queries, oracles = registry
-    assert len(queries) >= 45
+    assert len(queries) >= 47
     assert set(oracles) <= set(queries)
     # every query hash-checks against DuckDB; a regression that
     # silently drops a query to rows-only should fail here
-    assert len(oracles) >= 45
+    assert len(oracles) >= 47
 
 
 @pytest.mark.parametrize(
@@ -78,6 +78,7 @@ def test_all_queries_have_callables(registry):
         "window_hopping_counts", "pack_sequences", "dataset_split_hash",
         "decontaminate_overlap", "domain_mix_sample", "repetition_ratio",
         "near_dup_clusters", "cluster_aware_split",
+        "term_doc_frequency", "doc_commonness",
     ],
 )
 def test_query_matches_oracle(registry, con, name):
