@@ -25,7 +25,12 @@ from typing import Any
 
 def _registry():
     # importing registers every @query into the shared registry
-    from raycrawl.pipelines import analytics, flagship, textops  # noqa: F401
+    from raycrawl.pipelines import (  # noqa: F401
+        analytics,
+        flagship,
+        linkgraph,
+        textops,
+    )
     from raycrawl.pipelines.analytics import ORACLES, QUERIES
 
     return QUERIES, ORACLES
