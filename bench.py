@@ -54,6 +54,7 @@ QUERY_NAMES = [
     "near_dup_clusters",
     "asof_join_latest_order",
     "window_hopping_counts",
+    "token_quantiles_by_lang",
 ]
 
 

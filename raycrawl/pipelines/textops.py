@@ -2398,3 +2398,153 @@ def doc_commonness(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-wise exact quantiles + percentile-floor filtering (SURVEY §2.11
+# R16). Quality filtering in a training pipeline is usually "drop docs
+# below the per-language p25 of some integer feature": that needs EXACT
+# distributed quantiles, and the scale path is distinct-value
+# compression — token counts are integers bounded by the max document
+# length, so (lang, n_tokens, count) rows compress the whole corpus to
+# a table whose size is independent of the document count. Quantile
+# rule mirrored from percentile_disc: the value at rank ceil(q * n) of
+# the sorted multiset (q limited to binary-exact fractions so the
+# double multiply cannot straddle a rounding boundary differently on
+# the two sides). Reference analogue: none (crawler stops at storage);
+# training-data-pipeline addition.
+# ---------------------------------------------------------------------------
+
+_QUANTS = (("p25", 0.25), ("p50", 0.5), ("p75", 0.75))
+
+
+def _token_quantiles_oracle_sql() -> str:
+    qcols = ", ".join(
+        f"CAST(percentile_disc({q}) WITHIN GROUP (ORDER BY n_tokens) "
+        f"AS BIGINT) AS {name}"
+        for name, q in _QUANTS
+    )
+    return f"""
+    WITH tok AS (
+      SELECT lang,
+             LEN(regexp_extract_all(text, '{TOKEN_REGEX_SQL}')) AS n_tokens
+      FROM documents
+    )
+    SELECT lang, {qcols} FROM tok GROUP BY lang
+    """
+
+
+def _token_count_partials(t: pa.Table) -> pa.Table:
+    """Per-batch (lang, n_tokens) -> count compression (the combiner):
+    the shuffle carries distinct-value rows, never documents."""
+    n = np.asarray(
+        token_counts_batch(t.column("text").to_pylist()), np.int64
+    )
+    g = pa.table(
+        {"lang": t["lang"], "n_tokens": pa.array(n, pa.int64())}
+    ).group_by(["lang", "n_tokens"]).aggregate([([], "count_all")])
+    return g.rename_columns(["lang", "n_tokens", "cnt"])
+
+
+def _quantiles_of_group(g: pa.Table) -> pa.Table:
+    """One language's compressed (n_tokens, cnt) partials -> one row of
+    exact quantiles (sort distinct values, cumulative counts, pick the
+    percentile_disc rank)."""
+    m = g.group_by("n_tokens").aggregate([("cnt", "sum")])
+    vals = m.column("n_tokens").to_numpy()
+    cnts = m.column("cnt_sum").to_numpy()
+    order = np.argsort(vals, kind="stable")
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    row: dict = {"lang": [g.column("lang")[0].as_py()]}
+    for name, q in _QUANTS:
+        rank = int(np.ceil(q * n))
+        row[name] = [int(vals[np.searchsorted(cum, rank)])]
+    return pa.table(
+        {
+            "lang": pa.array(row["lang"], pa.string()),
+            **{
+                name: pa.array(row[name], pa.int64())
+                for name, _ in _QUANTS
+            },
+        }
+    )
+
+
+@query("token_quantiles_by_lang", _token_quantiles_oracle_sql())
+def token_quantiles_by_lang(sf_dir: str):
+    """Exact per-language token-count quantiles (see the family
+    comment above): per-batch distinct-value compression, ONE shuffle
+    keyed by lang (each group is the compressed value table, whose
+    size is bounded by the token-count range — not the corpus), one
+    vectorized cumsum/searchsorted kernel per group."""
+    return (
+        _read(sf_dir, "documents", ["lang", "text"])
+        .map_batches(_token_count_partials, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(_quantiles_of_group, batch_format="pyarrow")
+    )
+
+
+@query(
+    "quality_floor_filter",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             LEN(regexp_extract_all(text, '{TOKEN_REGEX_SQL}')) AS n_tokens
+      FROM documents
+    ),
+    floors AS (
+      SELECT lang,
+             CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_tokens)
+                  AS BIGINT) AS floor_tokens
+      FROM tok GROUP BY lang
+    )
+    SELECT t.doc_id, t.lang, t.n_tokens
+    FROM tok t JOIN floors f USING (lang)
+    WHERE t.n_tokens >= f.floor_tokens
+    ORDER BY t.doc_id
+    """,
+)
+def quality_floor_filter(sf_dir: str):
+    """Percentile-floor quality filter: keep documents whose token
+    count reaches their language's p25 (the Gopher-style 'drop the
+    shortest quartile per language' rule). Composes the quantile
+    operator: thresholds are a langs-row table (bounded driver
+    materialization, the knn_cosine merge pattern), broadcast into a
+    vectorized per-batch filter — no second shuffle over documents."""
+    import ray
+
+    floors_df = (
+        token_quantiles_by_lang(sf_dir)
+        .select_columns(["lang", "p25"])
+        .to_pandas()  # bounded: one row per language
+    )
+    langs = np.asarray(floors_df["lang"].to_numpy(), dtype=str)
+    order = np.argsort(langs, kind="stable")
+    langs = langs[order]
+    floors = floors_df["p25"].to_numpy()[order]
+    floors_ref = ray.put((langs, floors))
+
+    def keep(t: pa.Table) -> pa.Table:
+        b_langs, b_floors = ray.get(floors_ref)
+        n = np.asarray(
+            token_counts_batch(t.column("text").to_pylist()), np.int64
+        )
+        ls = np.asarray(t.column("lang").to_pylist(), dtype=str)
+        fl = b_floors[np.searchsorted(b_langs, ls)]
+        mask = n >= fl
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id").filter(pa.array(mask)),
+                "lang": t.column("lang").filter(pa.array(mask)),
+                "n_tokens": pa.array(n[mask], pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+        .map_batches(keep, batch_format="pyarrow")
+        .sort("doc_id")
+    )

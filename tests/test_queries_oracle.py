@@ -54,11 +54,11 @@ def registry(ray_session):
 
 def test_all_queries_have_callables(registry):
     queries, oracles = registry
-    assert len(queries) >= 48
+    assert len(queries) >= 50
     assert set(oracles) <= set(queries)
     # every query hash-checks against DuckDB; a regression that
     # silently drops a query to rows-only should fail here
-    assert len(oracles) >= 48
+    assert len(oracles) >= 50
 
 
 @pytest.mark.parametrize(
@@ -79,6 +79,7 @@ def test_all_queries_have_callables(registry):
         "decontaminate_overlap", "domain_mix_sample", "repetition_ratio",
         "near_dup_clusters", "cluster_aware_split",
         "term_doc_frequency", "doc_commonness",
+        "token_quantiles_by_lang", "quality_floor_filter",
     ],
 )
 def test_query_matches_oracle(registry, con, name):
