@@ -2548,3 +2548,127 @@ def quality_floor_filter(sf_dir: str):
         .map_batches(keep, batch_format="pyarrow")
         .sort("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top-k distinctive terms per document (SURVEY §2.11 R17).
+# Retrieval / keyword-extraction feature over the inverted-index stats:
+# rank each document's terms by tf x idf and keep the top k. The score
+# is INTEGER-exact end to end — idf is pre-rounded to a scaled int64
+# (FLOOR(ln(N/df) * 1e6 + 0.5)) before the tf multiply, so the top-k
+# SELECTION (the fragile part of any float scorer: a 1-ulp libm
+# difference can flip a rank) compares exact integers with a
+# deterministic (score DESC, term ASC) tie-break on both engines. The
+# only float op is ln on N/df, whose 1-ulp jitter flips the rounded
+# integer only when frac(1e6*ln) lands within ~1e-9 of a boundary —
+# ~1e-9 per DISTINCT df value, not per document.
+# ---------------------------------------------------------------------------
+
+_TFIDF_K = 3
+_IDF_SCALE = 1_000_000
+
+
+@query(
+    "tfidf_topk_terms",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             UNNEST(regexp_extract_all(text, '{WORD_REGEX_SQL}')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM w GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM w GROUP BY term),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+    sc AS (SELECT t.doc_id, t.term,
+                  t.tf * CAST(FLOOR(LN(nn.n / d.df) * {_IDF_SCALE} + 0.5)
+                              AS BIGINT) AS score
+           FROM tf t JOIN df d USING (term) CROSS JOIN nn),
+    rk AS (SELECT *, ROW_NUMBER()
+                     OVER (PARTITION BY doc_id
+                           ORDER BY score DESC, term) AS rn
+           FROM sc)
+    SELECT doc_id, term, score, CAST(rn AS BIGINT) AS rank
+    FROM rk WHERE rn <= {_TFIDF_K}
+    """,
+)
+def tfidf_topk_terms(sf_dir: str):
+    """Top-{k} tf-idf terms per document (see the family comment
+    above). Two passes, the doc_commonness shape:
+
+      pass 1  per-batch (term, docs-containing) partials —
+              vocabulary-sized, never token-stream-sized — combined on
+              the driver (bounded by the corpus VOCABULARY) and
+              broadcast ONCE via ray.put as a sorted term array +
+              aligned scaled-int idf,
+      pass 2  per-batch scoring, shuffle-free: each doc's distinct
+              terms probe the vocab with ONE searchsorted; top-k picks
+              via lexsort on (-score, term). Per-doc output is k rows,
+              so the result stream is k x docs regardless of
+              vocabulary or document length.
+    """
+    import ray
+
+    n_docs = float(
+        pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    )
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        per_doc = [WORD_REGEX.findall(x) for x in texts]
+        doc_terms = np.concatenate(
+            [np.unique(np.array(w, dtype=str)) for w in per_doc if w]
+        ) if any(per_doc) else np.array([], dtype=str)
+        terms, df = np.unique(doc_terms, return_counts=True)
+        return pa.table(
+            {
+                "term": pa.array(terms.tolist(), pa.string()),
+                "df": pa.array(df, pa.int64()),
+            }
+        )
+
+    partials = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(df_partial, batch_format="pyarrow")
+        .to_pandas()  # bounded: corpus vocabulary only
+    )
+    agg = partials.groupby("term")["df"].sum()
+    vocab = np.array(agg.index.to_numpy(), dtype=str)
+    order = np.argsort(vocab)
+    vocab = vocab[order]
+    idf = np.floor(
+        np.log(n_docs / agg.to_numpy()[order]) * _IDF_SCALE + 0.5
+    ).astype(np.int64)
+    bcast = ray.put((vocab, idf))
+
+    def topk(t: pa.Table) -> pa.Table:
+        b_vocab, b_idf = ray.get(bcast)
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        out_id: list[int] = []
+        out_term: list[str] = []
+        out_score: list[int] = []
+        out_rank: list[int] = []
+        for i, x in enumerate(texts):
+            words = WORD_REGEX.findall(x)
+            if not words:
+                continue
+            u, c = np.unique(np.array(words, dtype=str), return_counts=True)
+            sc = c * b_idf[np.searchsorted(b_vocab, u)]
+            sel = np.lexsort((u, -sc))[:_TFIDF_K]
+            out_id.extend([int(ids[i])] * sel.size)
+            out_term.extend(u[sel].tolist())
+            out_score.extend(sc[sel].tolist())
+            out_rank.extend(range(1, sel.size + 1))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "term": pa.array(out_term, pa.string()),
+                "score": pa.array(out_score, pa.int64()),
+                "rank": pa.array(out_rank, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        topk, batch_format="pyarrow"
+    )
