@@ -2672,3 +2672,115 @@ def tfidf_topk_terms(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         topk, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated n-gram spans (SURVEY §2.11 R18). The
+# exact-substring pillar of training-data dedup (the suffix-array
+# approach's practical distributed variant): hash every K-word window,
+# keep the spans that occur in MORE THAN ONE document. Downstream, a
+# pipeline drops or trims these spans (boilerplate, license headers,
+# quoted chains). Shuffle volume is O(total windows) ~ O(tokens) —
+# the exact-substring price; the 100 TB operating point applies
+# winnowing first (emit only window hashes that are the minimum of a
+# local window of w, cutting volume ~w/2 at the cost of probabilistic
+# span boundaries), which composes as one extra mask in the emit
+# kernel. Per-batch partials keep COUNT(DISTINCT doc) exact: a doc
+# lives in exactly one batch, so per-doc dedup inside the kernel makes
+# the distinct count a plain sum across batches.
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8
+
+
+@query(
+    "dup_ngram_spans",
+    f"""
+    WITH w AS (
+      SELECT doc_id, regexp_extract_all(text, '{WORD_REGEX_SQL}') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_slice(ws, i, i + {_SPAN_K} - 1), ' ')) AS gram
+      FROM w, UNNEST(range(1, len(ws) - {_SPAN_K} + 2)) AS t(i)
+      WHERE len(ws) >= {_SPAN_K}
+    )
+    SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1
+    """,
+)
+def dup_ngram_spans(sf_dir: str):
+    """Duplicated {K}-word spans across documents (see the family
+    comment above): per-batch window hashing with per-doc combine
+    (gram -> occurrences, docs), one hash-partitioned shuffle of the
+    partials, vectorized Arrow group_by sum + HAVING filter per
+    partition. Output: one row per span seen in >1 document with its
+    document count and total occurrence count."""
+    from .analytics import _nblocks
+
+    P = _nblocks(sf_dir, "documents")
+
+    def gram_partial(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        occ: dict[bytes, int] = {}
+        docs: dict[bytes, int] = {}
+        for x in texts:
+            ws = WORD_REGEX.findall(x)
+            if len(ws) < _SPAN_K:
+                continue
+            doc_occ: dict[bytes, int] = {}
+            for j in range(len(ws) - _SPAN_K + 1):
+                d = hashlib.md5(
+                    " ".join(ws[j : j + _SPAN_K]).encode("utf-8")
+                ).digest()
+                doc_occ[d] = doc_occ.get(d, 0) + 1
+            for d, c in doc_occ.items():
+                occ[d] = occ.get(d, 0) + c
+                docs[d] = docs.get(d, 0) + 1
+        if not occ:
+            return pa.table(
+                {
+                    "gram": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_occurrences": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
+                }
+            )
+        digests = list(occ)
+        part = (
+            np.frombuffer(b"".join(digests), dtype=np.uint8)
+            .reshape(-1, 16)[:, :8]
+            .copy()
+            .view("<u8")
+            .reshape(-1)
+            % np.uint64(P)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "gram": pa.array([d.hex() for d in digests], pa.string()),
+                "n_docs": pa.array(
+                    [docs[d] for d in digests], pa.int64()
+                ),
+                "n_occurrences": pa.array(
+                    [occ[d] for d in digests], pa.int64()
+                ),
+                "part": pa.array(part, pa.int64()),
+            }
+        )
+
+    def combine(g: pa.Table) -> pa.Table:
+        out = g.group_by("gram").aggregate(
+            [("n_docs", "sum"), ("n_occurrences", "sum")]
+        )
+        out = out.rename_columns(["gram", "n_docs", "n_occurrences"])
+        return out.filter(pc.greater(out["n_docs"], 1))
+
+    return (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(gram_partial, batch_format="pyarrow")
+        .groupby("part", num_partitions=P)
+        .map_groups(combine, batch_format="pyarrow")
+    )
