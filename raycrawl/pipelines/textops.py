@@ -2784,3 +2784,92 @@ def dup_ngram_spans(sf_dir: str):
         .groupby("part", num_partitions=P)
         .map_groups(combine, batch_format="pyarrow")
     )
+
+
+@query(
+    "boilerplate_span_ratio",
+    f"""
+    WITH w AS (
+      SELECT doc_id, regexp_extract_all(text, '{WORD_REGEX_SQL}') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               list_slice(ws, i, i + {_SPAN_K} - 1), ' ')) AS gram
+      FROM w, UNNEST(range(1, len(ws) - {_SPAN_K} + 2)) AS t(i)
+      WHERE len(ws) >= {_SPAN_K}
+    ),
+    d AS (
+      SELECT gram FROM g GROUP BY gram
+      HAVING COUNT(DISTINCT doc_id) > 1
+    )
+    SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN g.gram IN (SELECT gram FROM d)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+    FROM g GROUP BY g.doc_id
+    """,
+)
+def boilerplate_span_ratio(sf_dir: str):
+    """Per-document boilerplate measure composing dup_ngram_spans the
+    way quality_floor_filter composes the quantiles: how many of a
+    document's {K}-word windows are spans shared with another document
+    (license headers, templates, quoted chains score high — the
+    numerator a pipeline thresholds on before dropping or trimming).
+    Integer-exact output (n_windows, n_dup_windows) per doc; no float
+    ratio crosses the hash comparison.
+
+    The duplicated-span set collects to the driver and broadcasts
+    once (bounded by the DUPLICATED span vocabulary — the same
+    bounded-combine class as decontaminate_overlap's benchmark
+    vocab, not the corpus); pass 2 is shuffle-free: each doc's
+    windows probe the sorted span array with one searchsorted."""
+    import ray
+
+    dup = (
+        dup_ngram_spans(sf_dir).select_columns(["gram"]).to_pandas()
+    )  # bounded: duplicated spans only
+    spans = np.sort(np.asarray(dup["gram"].to_numpy(), dtype=str))
+    bcast = ray.put(spans)
+
+    def ratio(t: pa.Table) -> pa.Table:
+        b_spans = ray.get(bcast)
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        out_id: list[int] = []
+        out_n: list[int] = []
+        out_dup: list[int] = []
+        for i, x in enumerate(texts):
+            ws = WORD_REGEX.findall(x)
+            if len(ws) < _SPAN_K:
+                continue
+            grams = np.asarray(
+                [
+                    hashlib.md5(
+                        " ".join(ws[j : j + _SPAN_K]).encode("utf-8")
+                    ).hexdigest()
+                    for j in range(len(ws) - _SPAN_K + 1)
+                ],
+                dtype=str,
+            )
+            si = np.searchsorted(b_spans, grams)
+            sc = np.minimum(si, max(b_spans.size - 1, 0))
+            hit = (
+                (si < b_spans.size) & (b_spans[sc] == grams)
+                if b_spans.size
+                else np.zeros(grams.size, bool)
+            )
+            out_id.append(int(ids[i]))
+            out_n.append(int(grams.size))
+            out_dup.append(int(hit.sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_windows": pa.array(out_n, pa.int64()),
+                "n_dup_windows": pa.array(out_dup, pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        ratio, batch_format="pyarrow"
+    )

@@ -54,11 +54,11 @@ def registry(ray_session):
 
 def test_all_queries_have_callables(registry):
     queries, oracles = registry
-    assert len(queries) >= 52
+    assert len(queries) >= 53
     assert set(oracles) <= set(queries)
     # every query hash-checks against DuckDB; a regression that
     # silently drops a query to rows-only should fail here
-    assert len(oracles) >= 52
+    assert len(oracles) >= 53
 
 
 @pytest.mark.parametrize(
@@ -80,7 +80,7 @@ def test_all_queries_have_callables(registry):
         "near_dup_clusters", "cluster_aware_split",
         "term_doc_frequency", "doc_commonness",
         "token_quantiles_by_lang", "quality_floor_filter",
-        "tfidf_topk_terms", "dup_ngram_spans",
+        "tfidf_topk_terms", "dup_ngram_spans", "boilerplate_span_ratio",
     ],
 )
 def test_query_matches_oracle(registry, con, name):
