@@ -2691,11 +2691,21 @@ def tfidf_topk_terms(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 _SPAN_K = 8
+# hash-sampled variant: keep a window iff its digest's top nibble is
+# below this bound (top-bits "0 mod p" selection, Manber-style
+# fingerprint sampling — uniform under md5). 2/16 = 1/8 of the volume.
+_SPAN_SAMPLE_BOUND = 2
 
 
-@query(
-    "dup_ngram_spans",
-    f"""
+def _dup_spans_sql(sampled: bool) -> str:
+    where = (
+        f" AND strpos('0123456789abcdef', substr(md5(array_to_string("
+        f"list_slice(ws, i, i + {_SPAN_K} - 1), ' ')), 1, 1)) "
+        f"<= {_SPAN_SAMPLE_BOUND}"
+        if sampled
+        else ""
+    )
+    return f"""
     WITH w AS (
       SELECT doc_id, regexp_extract_all(text, '{WORD_REGEX_SQL}') AS ws
       FROM documents
@@ -2705,23 +2715,22 @@ _SPAN_K = 8
              md5(array_to_string(
                list_slice(ws, i, i + {_SPAN_K} - 1), ' ')) AS gram
       FROM w, UNNEST(range(1, len(ws) - {_SPAN_K} + 2)) AS t(i)
-      WHERE len(ws) >= {_SPAN_K}
+      WHERE len(ws) >= {_SPAN_K}{where}
     )
     SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
            CAST(COUNT(*) AS BIGINT) AS n_occurrences
     FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1
-    """,
-)
-def dup_ngram_spans(sf_dir: str):
-    """Duplicated {K}-word spans across documents (see the family
-    comment above): per-batch window hashing with per-doc combine
-    (gram -> occurrences, docs), one hash-partitioned shuffle of the
-    partials, vectorized Arrow group_by sum + HAVING filter per
-    partition. Output: one row per span seen in >1 document with its
-    document count and total occurrence count."""
+    """
+
+
+def _dup_spans_dataset(sf_dir: str, *, sampled: bool):
+    """Shared engine for the exact and hash-sampled span detectors
+    (docstrings on the registered queries below)."""
     from .analytics import _nblocks
 
     P = _nblocks(sf_dir, "documents")
+    # top nibble of the digest < bound  <=>  first byte < bound * 16
+    byte_bound = _SPAN_SAMPLE_BOUND * 16
 
     def gram_partial(t: pa.Table) -> pa.Table:
         texts = t.column("text").to_pylist()
@@ -2736,6 +2745,8 @@ def dup_ngram_spans(sf_dir: str):
                 d = hashlib.md5(
                     " ".join(ws[j : j + _SPAN_K]).encode("utf-8")
                 ).digest()
+                if sampled and d[0] >= byte_bound:
+                    continue
                 doc_occ[d] = doc_occ.get(d, 0) + 1
             for d, c in doc_occ.items():
                 occ[d] = occ.get(d, 0) + c
@@ -2784,6 +2795,33 @@ def dup_ngram_spans(sf_dir: str):
         .groupby("part", num_partitions=P)
         .map_groups(combine, batch_format="pyarrow")
     )
+
+
+@query("dup_ngram_spans", _dup_spans_sql(sampled=False))
+def dup_ngram_spans(sf_dir: str):
+    """Duplicated {K}-word spans across documents (see the family
+    comment above): per-batch window hashing with per-doc combine
+    (gram -> occurrences, docs), one hash-partitioned shuffle of the
+    partials, vectorized Arrow group_by sum + HAVING filter per
+    partition. Output: one row per span seen in >1 document with its
+    document count and total occurrence count."""
+    return _dup_spans_dataset(sf_dir, sampled=False)
+
+
+@query("dup_ngram_spans_sampled", _dup_spans_sql(sampled=True))
+def dup_ngram_spans_sampled(sf_dir: str):
+    """The 100 TB operating point of dup_ngram_spans: hash-sampled
+    window selection (keep a window iff its digest's top nibble is
+    below _SPAN_SAMPLE_BOUND — Manber-style '0 mod p' fingerprint
+    sampling, here 1/8). The shuffle carries ~1/8 of the window
+    volume; detection becomes probabilistic per SPAN (a duplicated
+    region of length L words still surfaces with probability
+    1-(7/8)^(L-K+1), >91% at L=2K) while every reported row remains
+    exact. Selection is a pure function of the gram hash, so the
+    sampled output is EXACTLY the full output restricted to sampled
+    grams — asserted in tests, and the SQL twin applies the same
+    top-nibble predicate."""
+    return _dup_spans_dataset(sf_dir, sampled=True)
 
 
 @query(

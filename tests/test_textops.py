@@ -367,3 +367,31 @@ def test_connected_components_diameter_guard(ray_session, monkeypatch):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         t._connected_components(pairs, parts=2)
+
+
+def test_sampled_spans_are_exact_restriction_of_full(ray_session):
+    """dup_ngram_spans_sampled must be EXACTLY the full span table
+    restricted to grams passing the top-nibble predicate (selection is
+    a pure function of the gram hash): same counts on the sampled
+    subset, every sampled gram obeys the predicate, and the volume
+    lands near the designed 1/8."""
+    from raycrawl.pipelines.textops import (
+        _SPAN_SAMPLE_BOUND,
+        dup_ngram_spans,
+        dup_ngram_spans_sampled,
+    )
+
+    full = dup_ngram_spans(SF).to_pandas().set_index("gram")
+    samp = dup_ngram_spans_sampled(SF).to_pandas()
+    assert 0 < len(samp) < len(full)
+    assert set(samp["gram"]) <= set(full.index)
+    merged = samp.set_index("gram").join(full, rsuffix="_f")
+    assert (merged["n_docs"] == merged["n_docs_f"]).all()
+    assert (
+        merged["n_occurrences"] == merged["n_occurrences_f"]
+    ).all()
+    allowed = "0123456789abcdef"[:_SPAN_SAMPLE_BOUND]
+    assert samp["gram"].str[0].isin(list(allowed)).all()
+    # ~1/8 by design; generous band (small-sample binomial)
+    ratio = len(samp) / len(full)
+    assert 0.04 < ratio < 0.25
