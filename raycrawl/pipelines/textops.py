@@ -2911,3 +2911,86 @@ def boilerplate_span_ratio(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         ratio, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Language confusion matrix (SURVEY §2.11 R19): declared `lang` column
+# vs the langid_heuristic prediction, per-cell document counts — the
+# validation table a pipeline reads before trusting either label
+# source (mislabeled docs poison per-language sampling and quantile
+# floors). Composes the langid kernel/twin unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _lang_confusion_sql() -> str:
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             UNNEST(regexp_extract_all(lower(text), '{WORD_REGEX_SQL}')) AS wd
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id,
+        SUM(CASE WHEN wd IN ({_stopword_in_list('en')}) THEN 1 ELSE 0 END) AS en,
+        SUM(CASE WHEN wd IN ({_stopword_in_list('de')}) THEN 1 ELSE 0 END) AS de,
+        SUM(CASE WHEN wd IN ({_stopword_in_list('fr')}) THEN 1 ELSE 0 END) AS fr,
+        SUM(CASE WHEN wd IN ({_stopword_in_list('es')}) THEN 1 ELSE 0 END) AS es
+      FROM w GROUP BY doc_id
+    ),
+    pick AS (
+      SELECT doc_id,
+        CASE
+          WHEN en = 0 AND de = 0 AND fr = 0 AND es = 0 THEN 'und'
+          WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+          WHEN de >= fr AND de >= es THEN 'de'
+          WHEN fr >= es THEN 'fr'
+          ELSE 'es'
+        END AS lang_pred
+      FROM hits
+    )
+    SELECT d.lang, COALESCE(p.lang_pred, 'und') AS lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents d LEFT JOIN pick p USING (doc_id)
+    GROUP BY d.lang, COALESCE(p.lang_pred, 'und')
+    """
+
+
+@query("lang_confusion_matrix", _lang_confusion_sql())
+def lang_confusion_matrix(sf_dir: str):
+    """Declared-vs-detected language confusion matrix (see the family
+    comment above): per-batch langid + Arrow group_by partials — each
+    batch emits at most |langs| x (|langs|+1) cells regardless of its
+    row count — combined on the driver (bounded by the cell count,
+    the knn merge class, not the corpus)."""
+    from ..functions.textstats import langid_batch
+
+    def partial(t: pa.Table) -> pa.Table:
+        preds = langid_batch(t.column("text").to_pylist())
+        g = pa.table(
+            {
+                "lang": t["lang"],
+                "lang_pred": pa.array(preds, pa.string()),
+            }
+        ).group_by(["lang", "lang_pred"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "lang_pred", "n_docs"])
+
+    parts_df = (
+        _read(sf_dir, "documents", ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()  # bounded: confusion cells x read blocks
+    )
+    out = (
+        parts_df.groupby(["lang", "lang_pred"])["n_docs"]
+        .sum()
+        .reset_index()
+        .sort_values(["lang", "lang_pred"])
+    )
+    return pa.table(
+        {
+            "lang": pa.array(out["lang"].tolist(), pa.string()),
+            "lang_pred": pa.array(out["lang_pred"].tolist(), pa.string()),
+            "n_docs": pa.array(
+                out["n_docs"].to_numpy().astype(np.int64), pa.int64()
+            ),
+        }
+    )

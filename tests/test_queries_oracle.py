@@ -54,11 +54,11 @@ def registry(ray_session):
 
 def test_all_queries_have_callables(registry):
     queries, oracles = registry
-    assert len(queries) >= 54
+    assert len(queries) >= 55
     assert set(oracles) <= set(queries)
     # every query hash-checks against DuckDB; a regression that
     # silently drops a query to rows-only should fail here
-    assert len(oracles) >= 54
+    assert len(oracles) >= 55
 
 
 @pytest.mark.parametrize(
@@ -81,7 +81,7 @@ def test_all_queries_have_callables(registry):
         "term_doc_frequency", "doc_commonness",
         "token_quantiles_by_lang", "quality_floor_filter",
         "tfidf_topk_terms", "dup_ngram_spans", "boilerplate_span_ratio",
-        "dup_ngram_spans_sampled",
+        "dup_ngram_spans_sampled", "lang_confusion_matrix",
     ],
 )
 def test_query_matches_oracle(registry, con, name):
