@@ -997,3 +997,94 @@ def window_hopping_counts(sf_dir: str):
         .aggregate(Sum("partial_n", alias_name="n"))
     )
     return out
+
+
+@query(
+    "event_funnel_counts",
+    "WITH s AS (SELECT user_id, MIN(ts) AS ts0 FROM events "
+    "WHERE event_type = 'signup' GROUP BY user_id), "
+    "p AS (SELECT DISTINCT e.user_id FROM events e JOIN s USING (user_id) "
+    "WHERE e.event_type = 'purchase' AND e.ts > s.ts0) "
+    "SELECT 'signup' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM s "
+    "UNION ALL "
+    "SELECT 'signup_then_purchase', CAST(COUNT(*) AS BIGINT) FROM p",
+)
+def event_funnel_counts(sf_dir: str):
+    """Ordered funnel analysis over the event stream: how many users
+    signed up, and how many of those purchased STRICTLY AFTER their
+    first signup (order matters — a purchase before the signup does
+    not convert; the strict-> tie rule is identical in the twin).
+    Filter-before-shuffle: only signup/purchase rows leave the read
+    stage, as three int columns (user, ts_us, kind). Then the
+    dedup_first_by_key shape — ONE hash-partitioned shuffle by user
+    and one vectorized kernel per partition (sort + reduceat min/max
+    per user run; a user converts iff max purchase ts > min signup
+    ts). Each partition emits ONE partial row; the driver combine is
+    partition-count-bounded."""
+    _I64_MAX = np.iinfo(np.int64).max
+    _I64_MIN = np.iinfo(np.int64).min
+
+    def pick(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        tt = t.filter(
+            pc.or_(pc.equal(et, "signup"), pc.equal(et, "purchase"))
+        )
+        users = tt.column("user_id").to_numpy()
+        kind = pc.equal(tt.column("event_type"), "purchase")
+        return pa.table(
+            {
+                "user_id": tt["user_id"],
+                "ts_us": pa.array(
+                    tt.column("ts").to_numpy().astype("datetime64[us]")
+                    .astype(np.int64),
+                    pa.int64(),
+                ),
+                "kind": pc.cast(kind, pa.int8()),
+                "part": pa.array(_part_of_int(users), pa.int64()),
+            }
+        )
+
+    def funnel_part(g: pa.Table) -> pa.Table:
+        g = g.take(
+            pc.sort_indices(g, sort_keys=[("user_id", "ascending")])
+        )
+        users = g.column("user_id").to_numpy()
+        ts = g.column("ts_us").to_numpy()
+        kind = g.column("kind").to_numpy()
+        starts = _first_run_mask(users).nonzero()[0]
+        s_min = np.minimum.reduceat(
+            np.where(kind == 0, ts, _I64_MAX), starts
+        )
+        p_max = np.maximum.reduceat(
+            np.where(kind == 1, ts, _I64_MIN), starts
+        )
+        signed = s_min < _I64_MAX
+        converted = signed & (p_max > s_min)
+        return pa.table(
+            {
+                "n_signup": pa.array([int(signed.sum())], pa.int64()),
+                "n_conv": pa.array([int(converted.sum())], pa.int64()),
+            }
+        )
+
+    parts_df = (
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+        .map_batches(pick, batch_format="pyarrow")
+        .groupby("part", num_partitions=_KEY_PARTS)
+        .map_groups(funnel_part, batch_format="pyarrow")
+        .to_pandas()  # bounded: one row per partition
+    )
+    return pa.table(
+        {
+            "stage": pa.array(
+                ["signup", "signup_then_purchase"], pa.string()
+            ),
+            "n_users": pa.array(
+                [
+                    int(parts_df["n_signup"].sum()),
+                    int(parts_df["n_conv"].sum()),
+                ],
+                pa.int64(),
+            ),
+        }
+    )

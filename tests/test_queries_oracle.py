@@ -54,11 +54,11 @@ def registry(ray_session):
 
 def test_all_queries_have_callables(registry):
     queries, oracles = registry
-    assert len(queries) >= 55
+    assert len(queries) >= 56
     assert set(oracles) <= set(queries)
     # every query hash-checks against DuckDB; a regression that
     # silently drops a query to rows-only should fail here
-    assert len(oracles) >= 55
+    assert len(oracles) >= 56
 
 
 @pytest.mark.parametrize(
@@ -82,6 +82,7 @@ def test_all_queries_have_callables(registry):
         "token_quantiles_by_lang", "quality_floor_filter",
         "tfidf_topk_terms", "dup_ngram_spans", "boilerplate_span_ratio",
         "dup_ngram_spans_sampled", "lang_confusion_matrix",
+        "event_funnel_counts",
     ],
 )
 def test_query_matches_oracle(registry, con, name):
@@ -161,3 +162,48 @@ def test_rows_only_queries_run_and_are_deterministic(registry, name):
     a = _normalize(_to_pandas(queries[name](SF_DIR)))
     b = _normalize(_to_pandas(queries[name](SF_DIR)))
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_event_funnel_order_sensitivity(registry, tmp_path):
+    """The driver testdata converts every signed-up user, so the
+    funnel's ORDER logic (purchase must follow the first signup,
+    strictly) is invisible to the sf-level hash check — pin it on an
+    adversarial fixture, and assert the SQL twin agrees on the same
+    file (oracle-pair validity on data the driver never shows it)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        (1, 200, "signup"), (1, 100, "purchase"),  # buys BEFORE: no
+        (2, 100, "signup"), (2, 200, "purchase"),  # converts
+        (3, 100, "purchase"),                       # never signed up
+        (4, 100, "signup"),                         # never bought
+        (5, 100, "signup"), (5, 100, "purchase"),  # tie: strict >, no
+        (6, 300, "signup"), (6, 150, "signup"),
+        (6, 200, "purchase"),                       # min signup 150: yes
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([0.0] * len(rows), pa.float64()),
+            "props": pa.array([""] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    queries, oracles = registry
+    got = _normalize(_to_pandas(queries["event_funnel_counts"](str(tmp_path))))
+    by_stage = dict(zip(got["stage"], got["n_users"]))
+    assert by_stage == {"signup": 5, "signup_then_purchase": 2}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = _normalize(con.execute(oracles["event_funnel_counts"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
