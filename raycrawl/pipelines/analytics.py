@@ -1088,3 +1088,81 @@ def event_funnel_counts(sf_dir: str):
             ),
         }
     )
+
+
+@query(
+    "orders_trailing_window",
+    "SELECT o_orderkey, "
+    "CAST(SUM(CAST(FLOOR(o_totalprice*100+0.5) AS BIGINT)) OVER w "
+    "AS BIGINT) AS window_cents, "
+    "CAST(COUNT(*) OVER w AS BIGINT) AS window_n "
+    "FROM orders "
+    "WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE) "
+    "RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)",
+)
+def orders_trailing_window(sf_dir: str):
+    """Per-order trailing 30-day window aggregate within each customer
+    (the moving-average family the hopping-window operator does not
+    cover: RANGE frames are value-based, include same-day peers, and
+    are per-row, not per-bucket). Day-granular by definition on both
+    sides; sums in integer cents.
+
+    ONE hash-partitioned shuffle by customer; inside each partition
+    the whole frame computation is three vectorized calls — lexsort by
+    (cust, day), a composite-key searchsorted pair for the frame
+    bounds (key = cust * 2^32 + day; a 30-day underflow cannot reach
+    the previous customer's run because day_max << 2^32 - 30), and a
+    cents cumsum differenced at the bounds. No per-customer Python."""
+    _DAY_US = 86_400_000_000
+
+    def pick(t: pa.Table) -> pa.Table:
+        cust = t.column("o_custkey").to_numpy()
+        day = (
+            t.column("o_orderdate").to_numpy().astype("datetime64[us]")
+            .astype(np.int64)
+            // _DAY_US
+        )
+        cents = np.floor(
+            t.column("o_totalprice").to_numpy() * 100 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "cust": pa.array(cust, pa.int64()),
+                "day": pa.array(day, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+                "part": pa.array(_part_of_int(cust), pa.int64()),
+            }
+        )
+
+    def frame_part(g: pa.Table) -> pa.Table:
+        cust = g.column("cust").to_numpy()
+        day = g.column("day").to_numpy()
+        assert (cust < (1 << 31)).all() and (day < (1 << 31)).all()
+        order = np.lexsort((day, cust))
+        cust, day = cust[order], day[order]
+        cents = g.column("cents").to_numpy()[order]
+        keys = (cust << np.int64(32)) + day
+        cum = np.r_[0, np.cumsum(cents)]
+        lo = np.searchsorted(keys, keys - 30, side="left")
+        hi = np.searchsorted(keys, keys, side="right")
+        return pa.table(
+            {
+                "o_orderkey": pc.take(
+                    g["o_orderkey"], pa.array(order, pa.int64())
+                ),
+                "window_cents": pa.array(cum[hi] - cum[lo], pa.int64()),
+                "window_n": pa.array(hi - lo, pa.int64()),
+            }
+        )
+
+    return (
+        _read(
+            sf_dir,
+            "orders",
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        .map_batches(pick, batch_format="pyarrow")
+        .groupby("part", num_partitions=_KEY_PARTS)
+        .map_groups(frame_part, batch_format="pyarrow")
+    )

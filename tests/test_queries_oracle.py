@@ -54,11 +54,11 @@ def registry(ray_session):
 
 def test_all_queries_have_callables(registry):
     queries, oracles = registry
-    assert len(queries) >= 56
+    assert len(queries) >= 57
     assert set(oracles) <= set(queries)
     # every query hash-checks against DuckDB; a regression that
     # silently drops a query to rows-only should fail here
-    assert len(oracles) >= 56
+    assert len(oracles) >= 57
 
 
 @pytest.mark.parametrize(
@@ -82,7 +82,7 @@ def test_all_queries_have_callables(registry):
         "token_quantiles_by_lang", "quality_floor_filter",
         "tfidf_topk_terms", "dup_ngram_spans", "boilerplate_span_ratio",
         "dup_ngram_spans_sampled", "lang_confusion_matrix",
-        "event_funnel_counts",
+        "event_funnel_counts", "orders_trailing_window",
     ],
 )
 def test_query_matches_oracle(registry, con, name):
