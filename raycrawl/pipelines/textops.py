@@ -2994,3 +2994,82 @@ def lang_confusion_matrix(sf_dir: str):
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (SURVEY §2.11 R22): exactly k
+# documents per language, chosen by content-hash rank — the fixed-size
+# per-group sample a pipeline pulls for eval sets or manual review.
+# Hash-rank selection is stable under resharding and append (a doc's
+# rank only changes if a smaller-hash doc arrives), unlike anything
+# seeded by row order. domain_mix_sample downsamples by RATE; this
+# picks an exact COUNT per group.
+# ---------------------------------------------------------------------------
+
+_STRAT_K = 20
+
+
+@query(
+    "stratified_sample_topk",
+    f"""
+    SELECT lang, doc_id, rn FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(text), doc_id) AS rn
+      FROM documents) WHERE rn <= {_STRAT_K}
+    """,
+)
+def stratified_sample_topk(sf_dir: str):
+    """Exactly {k} docs per language by (md5(text), doc_id) rank.
+    Classic partial-top-k: each batch keeps at most k rows PER
+    LANGUAGE IT SAW, so the shuffle carries k x langs x batches rows
+    — sample-sized, never corpus-sized — and the final per-language
+    merge re-ranks the partials. Ties (md5 collisions) break on
+    doc_id identically on both sides."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        langs = np.asarray(t.column("lang").to_pylist(), dtype=str)
+        ids = t.column("doc_id").to_numpy()
+        hx = np.asarray(
+            [
+                hashlib.md5(x.encode("utf-8")).hexdigest()
+                for x in t.column("text").to_pylist()
+            ],
+            dtype=str,
+        )
+        keep = np.zeros(ids.size, bool)
+        order = np.lexsort((ids, hx, langs))
+        sl, si = langs[order], np.arange(ids.size)
+        starts = np.r_[0, np.flatnonzero(sl[1:] != sl[:-1]) + 1]
+        ranks = si - np.repeat(si[starts], np.diff(np.r_[starts, sl.size]))
+        keep[order[ranks < _STRAT_K]] = True
+        return pa.table(
+            {
+                "lang": pa.array(langs[keep], pa.string()),
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "h": pa.array(hx[keep], pa.string()),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy()
+        hx = np.asarray(g.column("h").to_pylist(), dtype=str)
+        order = np.lexsort((ids, hx))[:_STRAT_K]
+        return pa.table(
+            {
+                "lang": pc.take(
+                    g["lang"], pa.array(order, pa.int64())
+                ),
+                "doc_id": pa.array(ids[order], pa.int64()),
+                "rn": pa.array(
+                    np.arange(1, order.size + 1), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -54,11 +54,11 @@ def registry(ray_session):
 
 def test_all_queries_have_callables(registry):
     queries, oracles = registry
-    assert len(queries) >= 57
+    assert len(queries) >= 58
     assert set(oracles) <= set(queries)
     # every query hash-checks against DuckDB; a regression that
     # silently drops a query to rows-only should fail here
-    assert len(oracles) >= 57
+    assert len(oracles) >= 58
 
 
 @pytest.mark.parametrize(
@@ -83,6 +83,7 @@ def test_all_queries_have_callables(registry):
         "tfidf_topk_terms", "dup_ngram_spans", "boilerplate_span_ratio",
         "dup_ngram_spans_sampled", "lang_confusion_matrix",
         "event_funnel_counts", "orders_trailing_window",
+        "stratified_sample_topk",
     ],
 )
 def test_query_matches_oracle(registry, con, name):
