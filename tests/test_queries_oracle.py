@@ -208,3 +208,120 @@ def test_event_funnel_order_sensitivity(registry, tmp_path):
     )
     want = _normalize(con.execute(oracles["event_funnel_counts"]).df())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_token_quantile_rank_rule_matches_percentile_disc(registry, tmp_path):
+    """The quantile operator mirrors percentile_disc as 'value at rank
+    ceil(q*n) of the sorted multiset'. The driver corpus only shows a
+    few (n, q) pairs — fuzz the rank rule against DuckDB itself on
+    seeded random token-count multisets (adversarial n: primes, n=1,
+    heavy ties)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    rows_lang, rows_text = [], []
+    sizes = [1, 2, 3, 7, 13, 100, 101]
+    for li, n in enumerate(sizes):
+        counts = rng.integers(1, 6, size=n)  # heavy ties
+        for c in counts:
+            rows_lang.append(f"l{li}")
+            rows_text.append(" ".join(["w"] * int(c)))
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows_lang)), pa.int64()),
+            "lang": pa.array(rows_lang, pa.string()),
+            "text": pa.array(rows_text, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    queries, oracles = registry
+    got = _normalize(
+        _to_pandas(queries["token_quantiles_by_lang"](str(tmp_path)))
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = _normalize(con.execute(oracles["token_quantiles_by_lang"]).df())
+    assert len(got) == len(sizes)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_trailing_window_frame_matches_bruteforce(registry, tmp_path):
+    """The composite-key searchsorted frame kernel vs an O(n^2)
+    reference AND the DuckDB RANGE twin, on seeded random data with
+    same-day peers, multi-order days, and window-boundary day gaps
+    (exactly 30 days apart = inside the frame)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    n = 300
+    cust = rng.integers(0, 12, size=n).astype(np.int64)
+    day = rng.integers(0, 70, size=n).astype(np.int64)
+    # force boundary cases: several exact 30-day gaps and peers
+    day[:6] = [0, 30, 31, 5, 5, 35]
+    cust[:6] = [99, 99, 99, 98, 98, 98]
+    price = rng.uniform(1, 1000, size=n).round(2)
+    t = pa.table(
+        {
+            "o_orderkey": pa.array(range(n), pa.int64()),
+            "o_custkey": pa.array(cust, pa.int64()),
+            "o_orderstatus": pa.array(["O"] * n, pa.string()),
+            "o_totalprice": pa.array(price, pa.float64()),
+            "o_orderdate": pa.array(
+                (day * 86_400_000_000).astype("datetime64[us]")
+            ),
+            "o_orderpriority": pa.array(["1"] * n, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+
+    queries, oracles = registry
+    got = _normalize(
+        _to_pandas(queries["orders_trailing_window"](str(tmp_path)))
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/orders.parquet')"
+    )
+    want = _normalize(con.execute(oracles["orders_trailing_window"]).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # independent O(n^2) reference for one spot-checked frame rule
+    cents = np.floor(price * 100 + 0.5).astype(np.int64)
+    ref_n = np.array(
+        [
+            int(
+                (
+                    (cust == cust[i])
+                    & (day >= day[i] - 30)
+                    & (day <= day[i])
+                ).sum()
+            )
+            for i in range(n)
+        ]
+    )
+    by_key = got.set_index("o_orderkey").sort_index()
+    assert (by_key["window_n"].to_numpy() == ref_n).all()
+    ref_c = np.array(
+        [
+            int(
+                cents[
+                    (cust == cust[i])
+                    & (day >= day[i] - 30)
+                    & (day <= day[i])
+                ].sum()
+            )
+            for i in range(n)
+        ]
+    )
+    assert (by_key["window_cents"].to_numpy() == ref_c).all()
