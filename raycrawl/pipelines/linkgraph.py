@@ -407,3 +407,118 @@ def link_pagerank(sf_dir: str):
     unrolled power-iteration CTE twin over the independently derived
     sidecar graph."""
     return _pagerank_dataset(sf_dir)
+
+
+def _indegree_oracle_sql(
+    sf_dir: str, *, pages_per_doc: int = 2, num_seeds: int = 4, k: int = 20
+) -> str:
+    d = _sidecar_dir(sf_dir, pages_per_doc, num_seeds)
+    return f"""
+    SELECT dst_url AS url, CAST(COUNT(*) AS BIGINT) AS n_inlinks
+    FROM read_parquet('{d}/links.parquet')
+    GROUP BY dst_url ORDER BY n_inlinks DESC, url LIMIT {k}
+    """
+
+
+_INDEG_K = 20
+
+
+@query("top_indegree_pages", _indegree_oracle_sql(DRIVER_ORACLE_SF))
+def top_indegree_pages(sf_dir: str):
+    """Backlink leaderboard: the k pages most linked-to by DISTINCT
+    sources (in-degree over the deduped canonical edge set — the same
+    edge semantics as PageRank, so this is its cheap screening
+    companion: one aggregation instead of five iterations). Per-batch
+    per-source dedup + per-batch (dst, n) partials; ONE hash-
+    partitioned shuffle of the compressed partials; each partition
+    emits only its local top-k, so the driver merge is bounded by
+    partitions x k (the knn merge class). Ties break (count DESC,
+    url ASC) identically in the twin."""
+    import ray
+    import ray.data
+
+    from ..functions.urlnorm import rfc3986_normalize
+    from ..stages.extract import extract_links
+    from .analytics import _part_of_str
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    corpus = corpus_from_documents(docs, pages_per_doc=2, seed=42)
+    n_nodes = corpus.num_rows
+    parts = max(2, min(_PARTS, n_nodes // 1000))
+    urls_sorted = np.sort(
+        np.asarray(corpus.column("url").to_pylist(), dtype=str)
+    )
+    members_ref = ray.put(urls_sorted)
+    step = max(1, -(-n_nodes // parts))
+    pages_ds = ray.data.from_arrow(
+        [
+            corpus.select(["url", "html"]).slice(i, step)
+            for i in range(0, n_nodes, step)
+        ]
+    )
+
+    def indeg_partial(t: pa.Table) -> pa.Table:
+        members = ray.get(members_ref)
+        dst_l: list[str] = []
+        for u, h in zip(
+            t.column("url").to_pylist(), t.column("html").to_pylist()
+        ):
+            seen: set[str] = set()
+            for link in extract_links(h, u):
+                c = rfc3986_normalize(link)
+                if c not in seen:
+                    seen.add(c)
+                    dst_l.append(c)
+        dst = np.asarray(dst_l, dtype=str)
+        if dst.size:
+            di = np.searchsorted(members, dst)
+            dc = np.minimum(di, members.size - 1)
+            dst = dst[(di < members.size) & (members[dc] == dst)]
+        uniq, cnt = np.unique(dst, return_counts=True)
+        return pa.table(
+            {
+                "url": pa.array(uniq.tolist(), pa.string()),
+                "n_inlinks": pa.array(cnt, pa.int64()),
+                "part": pa.array(
+                    _part_of_str(uniq, parts), pa.int64()
+                ),
+            }
+        )
+
+    def local_topk(g: pa.Table) -> pa.Table:
+        m = g.group_by("url").aggregate([("n_inlinks", "sum")])
+        urls = np.asarray(m.column("url").to_pylist(), dtype=str)
+        n = m.column("n_inlinks_sum").to_numpy()
+        order = np.lexsort((urls, -n))[:_INDEG_K]
+        return pa.table(
+            {
+                "url": pa.array(urls[order].tolist(), pa.string()),
+                "n_inlinks": pa.array(n[order], pa.int64()),
+            }
+        )
+
+    parts_df = (
+        pages_ds.map_batches(indeg_partial, batch_format="pyarrow")
+        .groupby("part", num_partitions=parts)
+        .map_groups(local_topk, batch_format="pyarrow")
+        .to_pandas()  # bounded: partitions x k rows
+    )
+    order = np.lexsort(
+        (
+            np.asarray(parts_df["url"].to_numpy(), dtype=str),
+            -parts_df["n_inlinks"].to_numpy(),
+        )
+    )[:_INDEG_K]
+    return pa.table(
+        {
+            "url": pa.array(
+                parts_df["url"].to_numpy()[order].tolist(), pa.string()
+            ),
+            "n_inlinks": pa.array(
+                parts_df["n_inlinks"].to_numpy()[order], pa.int64()
+            ),
+        }
+    )

@@ -15,6 +15,10 @@ def _normalize(df):
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def _to_frame(result):
+    return result if isinstance(result, pd.DataFrame) else result.to_pandas()
+
+
 def test_pagerank_matches_unrolled_cte_oracle(ray_session):
     from raycrawl.pipelines.flagship import ensure_oracle_sidecars
     from raycrawl.pipelines.linkgraph import (
@@ -109,3 +113,28 @@ def test_dangling_mass_update_formula():
     assert np.allclose(r1, expected, rtol=0, atol=1e-15)
     # mass conserved: teleport + damped(moved mass + dangling mass)
     assert abs(float(r1.sum()) - 1.0) < 1e-12
+
+def test_top_indegree_matches_sidecar_oracle(ray_session):
+    from raycrawl.pipelines.flagship import ensure_oracle_sidecars
+    from raycrawl.pipelines.linkgraph import (
+        _indegree_oracle_sql,
+        top_indegree_pages,
+    )
+
+    ensure_oracle_sidecars(SF_DIR)
+    got = _normalize(_to_frame(top_indegree_pages(SF_DIR)))
+    want = _normalize(
+        duckdb.connect().execute(_indegree_oracle_sql(SF_DIR)).df()
+    )
+    assert len(got) == len(want) == 20
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_indegree_registered_oracle_targets_driver_sf(ray_session):
+    import __ray_entry__ as e
+    from raycrawl.pipelines.flagship import DRIVER_ORACLE_SF
+    from raycrawl.pipelines.linkgraph import _indegree_oracle_sql
+
+    assert e.oracle_sql()["top_indegree_pages"] == _indegree_oracle_sql(
+        DRIVER_ORACLE_SF
+    )
