@@ -2037,21 +2037,49 @@ def _connected_components(pairs, parts: int):
     somehow chains deeper than _CC_MAX_ROUNDS fails loudly rather than
     converging silently wrong."""
 
-    def to_edges(t: pa.Table) -> pa.Table:
-        a = t.column("doc_a").to_numpy()
-        b = t.column("doc_b").to_numpy()
-        key = np.concatenate((a, b))
-        val = np.concatenate((b, a))
-        return pa.table(
-            {
-                "key": pa.array(key, pa.int64()),
-                "val": pa.array(val, pa.int64()),
-                "is_edge": pa.array(np.ones(key.size, np.int8), pa.int8()),
-                "part": pa.array(_cc_part(key, parts), pa.int64()),
-            }
-        )
+    def make_to_edges(p: int):
+        def to_edges(t: pa.Table) -> pa.Table:
+            a = t.column("doc_a").to_numpy()
+            b = t.column("doc_b").to_numpy()
+            key = np.concatenate((a, b))
+            val = np.concatenate((b, a))
+            return pa.table(
+                {
+                    "key": pa.array(key, pa.int64()),
+                    "val": pa.array(val, pa.int64()),
+                    "is_edge": pa.array(
+                        np.ones(key.size, np.int8), pa.int8()
+                    ),
+                    "part": pa.array(_cc_part(key, p), pa.int64()),
+                }
+            )
 
-    edges = pairs.map_batches(to_edges, batch_format="pyarrow").materialize()
+        return to_edges
+
+    edges = pairs.map_batches(
+        make_to_edges(parts), batch_format="pyarrow"
+    ).materialize()
+    # the dup SUBGRAPH is usually tiny (hundreds of edge rows at bench
+    # scale) while `parts` is corpus-sized — and each propagation round
+    # is a sort shuffle whose block-exchange count grows as parts^2
+    # (the link_pagerank lesson: 16 partitions cost ~1.6 s/round on a
+    # 1k-row table). Right-size to the measured edge count; the count
+    # is free on the materialized dataset.
+    parts_eff = max(2, min(parts, edges.count() // 1_000))
+    if parts_eff != parts:
+        parts = parts_eff
+
+        def repart(t: pa.Table) -> pa.Table:
+            key = t.column("key").to_numpy()
+            return t.set_column(
+                t.schema.get_field_index("part"),
+                "part",
+                pa.array(_cc_part(key, parts_eff), pa.int64()),
+            )
+
+        edges = edges.map_batches(
+            repart, batch_format="pyarrow"
+        ).materialize()
 
     def relax_part(g: pa.Table) -> pa.Table:
         order = pc.sort_indices(g, sort_keys=[("key", "ascending")])
@@ -2134,6 +2162,21 @@ def near_dup_clusters(sf_dir: str):
     unchanged, so the pair semantics stay oracle-identical."""
     parts = _pool_size()
     labels = _connected_components(minhash_lsh_dupes(sf_dir), parts)
+
+    # the CC loop right-sizes its own partition count to the dup
+    # subgraph (see _connected_components), so the label rows' part
+    # column may use a different modulus than the corpus-wide merge
+    # below — reassign it so a doc's anchor row and its labels
+    # co-locate (tiny table, one cheap pass)
+    def relabel_part(t: pa.Table) -> pa.Table:
+        keys = t.column("key").to_numpy()
+        return t.set_column(
+            t.schema.get_field_index("part"),
+            "part",
+            pa.array(_cc_part(keys, parts), pa.int64()),
+        )
+
+    labels = labels.map_batches(relabel_part, batch_format="pyarrow")
 
     def doc_rows(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy()
