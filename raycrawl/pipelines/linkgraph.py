@@ -111,14 +111,16 @@ def _runs(keys: np.ndarray) -> np.ndarray:
 
 
 def _new_rank(
-    inflow: np.ndarray, d_mass: float, inv_n: float
+    inflow: np.ndarray, d_mass: float, tv
 ) -> np.ndarray:
     """The power-iteration update: teleport + damped (inflow +
-    dangling mass spread uniformly). Module-level so the dangling
-    arithmetic is unit-testable without Ray (the testdata corpora
-    have no zero-out-degree page, so the e2e oracle only exercises
-    d_mass == 0)."""
-    return _TELEPORT * inv_n + _ALPHA * (inflow + d_mass * inv_n)
+    dangling mass), both distributed along the teleport vector ``tv``
+    (a scalar 1/N for classic PageRank; a per-node array that is
+    1/|seeds| on seeds and 0 elsewhere for the personalized variant).
+    Module-level so the dangling arithmetic is unit-testable without
+    Ray (the testdata corpora have no zero-out-degree page, so the
+    e2e oracle only exercises d_mass == 0)."""
+    return _TELEPORT * tv + _ALPHA * (inflow + d_mass * tv)
 
 
 # One wide schema for every union stage (ray.data.Dataset.union needs
@@ -157,7 +159,11 @@ def _wide(
 
 
 def _pagerank_dataset(
-    sf_dir: str, *, parts: int | None = None, iters: int = _ITERS
+    sf_dir: str,
+    *,
+    parts: int | None = None,
+    iters: int = _ITERS,
+    personalized: bool = False,
 ):
     import ray
     import ray.data
@@ -187,6 +193,31 @@ def _pagerank_dataset(
         np.asarray(corpus.column("url").to_pylist(), dtype=str)
     )
     members_ref = ray.put(urls_sorted)
+
+    if personalized:
+        # teleport only to the crawl's seed list (the flagship's own
+        # seeds_for_corpus, so this ranks pages by link-proximity to
+        # where the crawl actually starts); seed set is tiny — the
+        # id array rides in the task closures
+        from ..corpus import seeds_for_corpus
+
+        seed_urls = np.asarray(
+            sorted(s["url"] for s in seeds_for_corpus(corpus, 4)),
+            dtype=str,
+        )
+        seed_ids = np.sort(np.searchsorted(urls_sorted, seed_urls))
+        inv_s = 1.0 / float(seed_ids.size)
+
+        def tv_of(keys: np.ndarray) -> np.ndarray:
+            si = np.searchsorted(seed_ids, keys)
+            sc = np.minimum(si, seed_ids.size - 1)
+            hit = (si < seed_ids.size) & (seed_ids[sc] == keys)
+            return np.where(hit, inv_s, 0.0)
+
+    else:
+
+        def tv_of(keys: np.ndarray) -> np.ndarray:
+            return np.full(keys.size, inv_n)
 
     step = max(1, -(-n_nodes // parts))
     pages_ds = ray.data.from_arrow(
@@ -287,7 +318,7 @@ def _pagerank_dataset(
         return t.set_column(
             t.schema.get_field_index("rank"),
             "rank",
-            pa.array(np.full(t.num_rows, inv_n), pa.float64()),
+            pa.array(tv_of(t.column("key").to_numpy()), pa.float64()),
         )
 
     ranks = anchors.map_batches(
@@ -334,7 +365,7 @@ def _pagerank_dataset(
             inflow = np.add.reduceat(g.column("rank").to_numpy(), starts)
             dang = np.maximum.reduceat(g.column("dang").to_numpy(), starts)
             run_keys = keys[starts]
-            new_rank = _new_rank(inflow, d_mass, inv_n)
+            new_rank = _new_rank(inflow, d_mass, tv_of(run_keys))
             return _wide(
                 run_keys,
                 rank=new_rank,
@@ -522,3 +553,63 @@ def top_indegree_pages(sf_dir: str):
             ),
         }
     )
+
+
+def _pagerank_seeded_oracle_sql(
+    sf_dir: str, *, pages_per_doc: int = 2, num_seeds: int = 4
+) -> str:
+    """Twin of the personalized variant: identical unroll with the
+    uniform 1/N teleport replaced by the seed indicator (1/|seeds| on
+    the sidecar seed list, 0 elsewhere) in r0, the teleport term, and
+    the dangling redistribution."""
+    d = _sidecar_dir(sf_dir, pages_per_doc, num_seeds)
+    parts = [
+        f"""
+    WITH pages AS (SELECT url FROM read_parquet('{d}/pages.parquet')),
+    links AS (SELECT src_url, dst_url FROM read_parquet('{d}/links.parquet')),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM pages),
+    deg AS (SELECT src_url, CAST(COUNT(*) AS DOUBLE) AS dc
+            FROM links GROUP BY src_url),
+    ew AS (SELECT l.src_url, l.dst_url, 1.0 / deg.dc AS w
+           FROM links l JOIN deg ON deg.src_url = l.src_url),
+    sd AS (SELECT url FROM read_parquet('{d}/seeds.parquet')),
+    sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM sd),
+    tv AS (SELECT p.url,
+           CASE WHEN s.url IS NOT NULL THEN 1.0 / sc.c ELSE 0.0 END AS t
+           FROM pages p LEFT JOIN sd s ON s.url = p.url CROSS JOIN sc),
+    r0 AS (SELECT url, t AS r FROM tv)"""
+    ]
+    for t in range(_ITERS):
+        parts.append(
+            f""",
+    d{t} AS (SELECT COALESCE(SUM(r.r), 0.0) AS m FROM r{t} r
+             WHERE r.url NOT IN (SELECT src_url FROM links)),
+    i{t} AS (SELECT e.dst_url AS url, SUM(r.r * e.w) AS s
+             FROM ew e JOIN r{t} r ON r.url = e.src_url
+             GROUP BY e.dst_url),
+    r{t + 1} AS (SELECT v.url,
+               {_TELEPORT} * v.t
+               + {_ALPHA} * (COALESCE(i.s, 0.0) + d{t}.m * v.t) AS r
+             FROM tv v LEFT JOIN i{t} i ON i.url = v.url
+             CROSS JOIN d{t})"""
+        )
+    parts.append(
+        f"""
+    SELECT r.url,
+           CAST(FLOOR(r.r * nn.c * 10000 + 0.5) AS BIGINT) AS rank_bp
+    FROM r{_ITERS} r CROSS JOIN nn ORDER BY r.url"""
+    )
+    return "".join(parts)
+
+
+@query("link_pagerank_seeded", _pagerank_seeded_oracle_sql(DRIVER_ORACLE_SF))
+def link_pagerank_seeded(sf_dir: str):
+    """Personalized PageRank from the crawl's own seed list: teleport
+    (and dangling mass) land only on the seeds, so the score is each
+    page's link-proximity to where the crawl starts — the direct
+    prioritization signal for frontier scheduling (rank high = worth
+    fetching early), where the unpersonalized variant measures global
+    hubness. Same distributed machinery as link_pagerank (the teleport
+    vector is the only delta); mean-scaled basis points, unreachable
+    pages score 0."""
+    return _pagerank_dataset(sf_dir, personalized=True)

@@ -108,11 +108,55 @@ def test_dangling_mass_update_formula():
     # r0 uniform. a->b and b->a swap their whole rank; c is dangling
     # and redistributes its 1/3 uniformly (damped).
     inflow = np.array([inv_n, inv_n, 0.0])
-    r1 = _new_rank(inflow, d_mass=inv_n, inv_n=inv_n)
+    r1 = _new_rank(inflow, d_mass=inv_n, tv=inv_n)
     expected = 0.15 / 3 + 0.85 * (inflow + (1 / 3) / 3)
     assert np.allclose(r1, expected, rtol=0, atol=1e-15)
     # mass conserved: teleport + damped(moved mass + dangling mass)
     assert abs(float(r1.sum()) - 1.0) < 1e-12
+    # personalized: teleport AND dangling mass land only on seed a
+    tv = np.array([1.0, 0.0, 0.0])
+    r1p = _new_rank(inflow, d_mass=inv_n, tv=tv)
+    assert np.allclose(
+        r1p, 0.15 * tv + 0.85 * (inflow + (1 / 3) * tv),
+        rtol=0, atol=1e-15,
+    )
+    assert abs(float(r1p.sum()) - 1.0) < 1e-12
+
+
+def test_pagerank_seeded_matches_oracle_and_concentrates_on_seeds(
+    ray_session,
+):
+    """Personalized variant: hash-exact vs its unrolled twin at
+    sf0.001, unreachable pages score exactly 0, and seed-adjacent mass
+    exceeds the uniform variant's (the signal the frontier scheduler
+    would consume)."""
+    from raycrawl.pipelines.flagship import ensure_oracle_sidecars
+    from raycrawl.pipelines.linkgraph import (
+        _pagerank_seeded_oracle_sql,
+        link_pagerank,
+        link_pagerank_seeded,
+    )
+
+    ensure_oracle_sidecars(SF_DIR)
+    got = _normalize(_to_frame(link_pagerank_seeded(SF_DIR)))
+    want = _normalize(
+        duckdb.connect().execute(_pagerank_seeded_oracle_sql(SF_DIR)).df()
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # mass conservation in mean-scaled bp, same cushion as uniform
+    assert abs(got["rank_bp"].sum() - len(got) * 10_000) <= len(got)
+    # the seeded mass is concentrated vs uniform: higher peak, pages
+    # unreachable from the seeds score EXACTLY 0 (uniform gives every
+    # page at least the teleport floor), and the top-10 mass share is
+    # strictly larger
+    uni = _to_frame(link_pagerank(SF_DIR))
+    assert got["rank_bp"].max() > uni["rank_bp"].max()
+    assert (got["rank_bp"] == 0).any()
+    assert (uni["rank_bp"] > 0).all()
+    assert (
+        got["rank_bp"].nlargest(10).sum()
+        > uni["rank_bp"].nlargest(10).sum()
+    )
 
 def test_top_indegree_matches_sidecar_oracle(ray_session):
     from raycrawl.pipelines.flagship import ensure_oracle_sidecars
