@@ -1138,7 +1138,12 @@ def orders_trailing_window(sf_dir: str):
     def frame_part(g: pa.Table) -> pa.Table:
         cust = g.column("cust").to_numpy()
         day = g.column("day").to_numpy()
-        assert (cust < (1 << 31)).all() and (day < (1 << 31)).all()
+        # ValueError, not assert: under python -O a silent int64
+        # overflow in the composite key would corrupt frame bounds
+        if not ((cust < (1 << 31)).all() and (day < (1 << 31)).all()):
+            raise ValueError(
+                "composite frame key needs o_custkey and day < 2^31"
+            )
         order = np.lexsort((day, cust))
         cust, day = cust[order], day[order]
         cents = g.column("cents").to_numpy()[order]

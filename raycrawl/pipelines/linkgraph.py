@@ -60,17 +60,16 @@ _ITERS = 5
 _PARTS = 32
 
 
-def _pagerank_oracle_sql(
-    sf_dir: str, *, pages_per_doc: int = 2, num_seeds: int = 4
-) -> str:
-    """DuckDB twin: the power iteration unrolled over the sidecar graph.
-
-    r0 = 1/N; r_{t+1}(v) = 0.15/N + 0.85*(sum_{u->v} r_t(u)/outdeg(u)
-    + dangling_mass_t/N). links.parquet is the distinct non-dangling
-    canonical edge set (flagship sidecar), so outdeg and the dangling
-    node set match the engine's membership-filtered derivation exactly.
-    """
-    d = _sidecar_dir(sf_dir, pages_per_doc, num_seeds)
+def _pagerank_unroll_sql(d: str, tv_ctes: str) -> str:
+    """Shared power-iteration unroll over the sidecar graph at ``d``:
+    r0 = tv; r_{t+1}(v) = 0.15*tv(v) + 0.85*(sum_{u->v}
+    r_t(u)/outdeg(u) + dangling_mass_t*tv(v)). ``tv_ctes`` supplies
+    the teleport-vector CTE chain ending in
+    ``tv(url, t)`` — uniform 1/N for classic PageRank, the seed
+    indicator for the personalized variant. links.parquet is the
+    distinct non-dangling canonical edge set (flagship sidecar), so
+    outdeg and the dangling node set match the engine's
+    membership-filtered derivation exactly."""
     parts = [
         f"""
     WITH pages AS (SELECT url FROM read_parquet('{d}/pages.parquet')),
@@ -80,7 +79,8 @@ def _pagerank_oracle_sql(
             FROM links GROUP BY src_url),
     ew AS (SELECT l.src_url, l.dst_url, 1.0 / deg.dc AS w
            FROM links l JOIN deg ON deg.src_url = l.src_url),
-    r0 AS (SELECT p.url, 1.0 / nn.c AS r FROM pages p CROSS JOIN nn)"""
+    {tv_ctes},
+    r0 AS (SELECT url, t AS r FROM tv)"""
     ]
     for t in range(_ITERS):
         parts.append(
@@ -90,11 +90,11 @@ def _pagerank_oracle_sql(
     i{t} AS (SELECT e.dst_url AS url, SUM(r.r * e.w) AS s
              FROM ew e JOIN r{t} r ON r.url = e.src_url
              GROUP BY e.dst_url),
-    r{t + 1} AS (SELECT p.url,
-               {_TELEPORT} / nn.c
-               + {_ALPHA} * (COALESCE(i.s, 0.0) + d{t}.m / nn.c) AS r
-             FROM pages p LEFT JOIN i{t} i ON i.url = p.url
-             CROSS JOIN nn CROSS JOIN d{t})"""
+    r{t + 1} AS (SELECT v.url,
+               {_TELEPORT} * v.t
+               + {_ALPHA} * (COALESCE(i.s, 0.0) + d{t}.m * v.t) AS r
+             FROM tv v LEFT JOIN i{t} i ON i.url = v.url
+             CROSS JOIN d{t})"""
         )
     parts.append(
         f"""
@@ -103,6 +103,17 @@ def _pagerank_oracle_sql(
     FROM r{_ITERS} r CROSS JOIN nn ORDER BY r.url"""
     )
     return "".join(parts)
+
+
+def _pagerank_oracle_sql(
+    sf_dir: str, *, pages_per_doc: int = 2, num_seeds: int = 4
+) -> str:
+    """Classic-PageRank twin: uniform 1/N teleport vector."""
+    d = _sidecar_dir(sf_dir, pages_per_doc, num_seeds)
+    return _pagerank_unroll_sql(
+        d,
+        "tv AS (SELECT p.url, 1.0 / nn.c AS t FROM pages p CROSS JOIN nn)",
+    )
 
 
 def _runs(keys: np.ndarray) -> np.ndarray:
@@ -121,6 +132,78 @@ def _new_rank(
     Ray (the testdata corpora have no zero-out-degree page, so the
     e2e oracle only exercises d_mass == 0)."""
     return _TELEPORT * tv + _ALPHA * (inflow + d_mass * tv)
+
+
+def _corpus_graph_input(sf_dir: str, parts_hint: int | None):
+    """Shared setup for the link-graph operators: derive the flagship
+    corpus, size the partition count (see the parts^2 note in
+    _pagerank_dataset), broadcast the sorted url array (node id =
+    sorted rank; doubles as the membership filter), and slice the
+    pages into one block per partition so the extract kernel fans
+    out. Returns (corpus, n_nodes, urls_sorted, members_ref,
+    pages_ds, parts)."""
+    import ray
+    import ray.data
+
+    docs = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    corpus = corpus_from_documents(docs, pages_per_doc=2, seed=42)
+    n_nodes = corpus.num_rows
+    parts = (
+        max(2, min(_PARTS, n_nodes // 1000))
+        if parts_hint is None
+        else parts_hint
+    )
+    # '<U' dtype so the per-batch searchsorted probe is a C-level
+    # compare, not Python
+    urls_sorted = np.sort(
+        np.asarray(corpus.column("url").to_pylist(), dtype=str)
+    )
+    members_ref = ray.put(urls_sorted)
+    step = max(1, -(-n_nodes // parts))
+    pages_ds = ray.data.from_arrow(
+        [
+            corpus.select(["url", "html"]).slice(i, step)
+            for i in range(0, n_nodes, step)
+        ]
+    )
+    return corpus, n_nodes, urls_sorted, members_ref, pages_ds, parts
+
+
+def _batch_edge_ids(t: pa.Table, members: np.ndarray):
+    """Deduped canonical in-corpus edges of a (url, html) page batch,
+    as (src_id, dst_id) int64 arrays — the engine's own
+    extract/canonicalize kernels with the sidecar's set semantics
+    (per-row dedup == global dedup: every (src, dst) pair originates
+    from exactly one page row; non-member targets drop, the crawl's
+    404/deadletter path)."""
+    from ..functions.urlnorm import rfc3986_normalize
+    from ..stages.extract import extract_links
+
+    src_l: list[str] = []
+    dst_l: list[str] = []
+    for u, h in zip(
+        t.column("url").to_pylist(), t.column("html").to_pylist()
+    ):
+        seen: set[str] = set()
+        for link in extract_links(h, u):
+            c = rfc3986_normalize(link)
+            if c not in seen:
+                seen.add(c)
+                src_l.append(u)
+                dst_l.append(c)
+    dst = np.asarray(dst_l, dtype=str)
+    src = np.asarray(src_l, dtype=str)
+    if not dst.size:
+        z = np.zeros(0, np.int64)
+        return z, z
+    di = np.searchsorted(members, dst)
+    dc = np.minimum(di, members.size - 1)
+    hit = (di < members.size) & (members[dc] == dst)
+    src_id = np.searchsorted(members, src[hit])  # always present
+    return src_id.astype(np.int64), dc[hit].astype(np.int64)
 
 
 # One wide schema for every union stage (ray.data.Dataset.union needs
@@ -165,34 +248,23 @@ def _pagerank_dataset(
     iters: int = _ITERS,
     personalized: bool = False,
 ):
+    # parts is size-derived by default (see _corpus_graph_input): each
+    # iteration is a sort-based shuffle whose block-exchange count
+    # grows as parts^2, so tiny graphs must not pay a 32-partition tax
+    # (85 s -> ~8 s at 1k nodes, 71 s -> ~10 s at 10k); at cluster
+    # scale parts rises with the data so per-partition memory stays
+    # bounded
     import ray
-    import ray.data
 
-    from ..functions.urlnorm import rfc3986_normalize
-    from ..stages.extract import extract_links
-
-    docs = pq.read_table(
-        f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "text", "lang", "source"],
-    )
-    corpus = corpus_from_documents(docs, pages_per_doc=2, seed=42)
-    n_nodes = corpus.num_rows
+    (
+        corpus,
+        n_nodes,
+        urls_sorted,
+        members_ref,
+        pages_ds,
+        parts,
+    ) = _corpus_graph_input(sf_dir, parts)
     inv_n = 1.0 / float(n_nodes)
-    if parts is None:
-        # size-derived like analytics._nblocks: each iteration is a
-        # sort-based shuffle whose block-exchange count grows as
-        # parts^2, so tiny graphs must not pay a 32-partition tax
-        # (85 s -> ~8 s at 1k nodes, 71 s -> ~10 s at 10k); at
-        # cluster scale parts rises with the data so per-partition
-        # memory stays bounded
-        parts = max(2, min(_PARTS, n_nodes // 1000))
-
-    # node id = rank of the url in sorted order; '<U' dtype so the
-    # per-batch searchsorted probe is a C-level compare, not Python
-    urls_sorted = np.sort(
-        np.asarray(corpus.column("url").to_pylist(), dtype=str)
-    )
-    members_ref = ray.put(urls_sorted)
 
     if personalized:
         # teleport only to the crawl's seed list (the flagship's own
@@ -219,38 +291,9 @@ def _pagerank_dataset(
         def tv_of(keys: np.ndarray) -> np.ndarray:
             return np.full(keys.size, inv_n)
 
-    step = max(1, -(-n_nodes // parts))
-    pages_ds = ray.data.from_arrow(
-        [
-            corpus.select(["url", "html"]).slice(i, step)
-            for i in range(0, n_nodes, step)
-        ]
-    )
-
     def edges_of(t: pa.Table) -> pa.Table:
         # task pool: setup is one zero-copy plasma get (etag_join idiom)
-        members = ray.get(members_ref)
-        src_l: list[str] = []
-        dst_l: list[str] = []
-        for u, h in zip(
-            t.column("url").to_pylist(), t.column("html").to_pylist()
-        ):
-            # per-row set dedup == the sidecar's global set semantics:
-            # every (src, dst) pair originates from exactly one page row
-            seen: set[str] = set()
-            for link in extract_links(h, u):
-                c = rfc3986_normalize(link)
-                if c not in seen:
-                    seen.add(c)
-                    src_l.append(u)
-                    dst_l.append(c)
-        dst = np.asarray(dst_l, dtype=str)
-        src = np.asarray(src_l, dtype=str)
-        di = np.searchsorted(members, dst)
-        dc = np.minimum(di, members.size - 1)
-        hit = (di < members.size) & (members[dc] == dst)  # 404s drop
-        src_id = np.searchsorted(members, src[hit])  # always present
-        dst_id = dc[hit]
+        src_id, dst_id = _batch_edge_ids(t, ray.get(members_ref))
         return _wide(
             src_id,
             dst=dst_id,
@@ -284,6 +327,7 @@ def _pagerank_dataset(
     # anchors: one row per node; dang = 1 iff the node never appears
     # as an edge src (zero out-degree), discovered by unioning anchor
     # rows with edge rows keyed alike — one shuffle, computed once
+    step = max(1, -(-n_nodes // parts))
     anchor_blocks = []
     for lo in range(0, n_nodes, step):
         ids = np.arange(lo, min(lo + step, n_nodes), dtype=np.int64)
@@ -466,67 +510,40 @@ def top_indegree_pages(sf_dir: str):
     partitions x k (the knn merge class). Ties break (count DESC,
     url ASC) identically in the twin."""
     import ray
-    import ray.data
 
-    from ..functions.urlnorm import rfc3986_normalize
-    from ..stages.extract import extract_links
-    from .analytics import _part_of_str
-
-    docs = pq.read_table(
-        f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "text", "lang", "source"],
-    )
-    corpus = corpus_from_documents(docs, pages_per_doc=2, seed=42)
-    n_nodes = corpus.num_rows
-    parts = max(2, min(_PARTS, n_nodes // 1000))
-    urls_sorted = np.sort(
-        np.asarray(corpus.column("url").to_pylist(), dtype=str)
-    )
-    members_ref = ray.put(urls_sorted)
-    step = max(1, -(-n_nodes // parts))
-    pages_ds = ray.data.from_arrow(
-        [
-            corpus.select(["url", "html"]).slice(i, step)
-            for i in range(0, n_nodes, step)
-        ]
-    )
+    (
+        _corpus,
+        _n_nodes,
+        urls_sorted,
+        members_ref,
+        pages_ds,
+        parts,
+    ) = _corpus_graph_input(sf_dir, None)
 
     def indeg_partial(t: pa.Table) -> pa.Table:
         members = ray.get(members_ref)
-        dst_l: list[str] = []
-        for u, h in zip(
-            t.column("url").to_pylist(), t.column("html").to_pylist()
-        ):
-            seen: set[str] = set()
-            for link in extract_links(h, u):
-                c = rfc3986_normalize(link)
-                if c not in seen:
-                    seen.add(c)
-                    dst_l.append(c)
-        dst = np.asarray(dst_l, dtype=str)
-        if dst.size:
-            di = np.searchsorted(members, dst)
-            dc = np.minimum(di, members.size - 1)
-            dst = dst[(di < members.size) & (members[dc] == dst)]
-        uniq, cnt = np.unique(dst, return_counts=True)
+        _, dst_id = _batch_edge_ids(t, members)
+        uniq, cnt = np.unique(dst_id, return_counts=True)
         return pa.table(
             {
-                "url": pa.array(uniq.tolist(), pa.string()),
+                "dst_id": pa.array(uniq, pa.int64()),
                 "n_inlinks": pa.array(cnt, pa.int64()),
                 "part": pa.array(
-                    _part_of_str(uniq, parts), pa.int64()
+                    _part_of_int(uniq, parts), pa.int64()
                 ),
             }
         )
 
     def local_topk(g: pa.Table) -> pa.Table:
-        m = g.group_by("url").aggregate([("n_inlinks", "sum")])
-        urls = np.asarray(m.column("url").to_pylist(), dtype=str)
+        m = g.group_by("dst_id").aggregate([("n_inlinks", "sum")])
+        ids = m.column("dst_id").to_numpy()
         n = m.column("n_inlinks_sum").to_numpy()
-        order = np.lexsort((urls, -n))[:_INDEG_K]
+        # node id = sorted-url rank, so ordering ids ASC == url ASC:
+        # the (count DESC, url ASC) tie-break works on ids directly
+        order = np.lexsort((ids, -n))[:_INDEG_K]
         return pa.table(
             {
-                "url": pa.array(urls[order].tolist(), pa.string()),
+                "dst_id": pa.array(ids[order], pa.int64()),
                 "n_inlinks": pa.array(n[order], pa.int64()),
             }
         )
@@ -539,14 +556,15 @@ def top_indegree_pages(sf_dir: str):
     )
     order = np.lexsort(
         (
-            np.asarray(parts_df["url"].to_numpy(), dtype=str),
+            parts_df["dst_id"].to_numpy(),
             -parts_df["n_inlinks"].to_numpy(),
         )
     )[:_INDEG_K]
     return pa.table(
         {
             "url": pa.array(
-                parts_df["url"].to_numpy()[order].tolist(), pa.string()
+                urls_sorted[parts_df["dst_id"].to_numpy()[order]],
+                pa.string(),
             ),
             "n_inlinks": pa.array(
                 parts_df["n_inlinks"].to_numpy()[order], pa.int64()
@@ -558,48 +576,19 @@ def top_indegree_pages(sf_dir: str):
 def _pagerank_seeded_oracle_sql(
     sf_dir: str, *, pages_per_doc: int = 2, num_seeds: int = 4
 ) -> str:
-    """Twin of the personalized variant: identical unroll with the
-    uniform 1/N teleport replaced by the seed indicator (1/|seeds| on
-    the sidecar seed list, 0 elsewhere) in r0, the teleport term, and
-    the dangling redistribution."""
+    """Personalized twin: the shared unroll with the teleport vector
+    set to the seed indicator (1/|seeds| on the sidecar seed list, 0
+    elsewhere) — it enters r0, the teleport term, and the dangling
+    redistribution identically."""
     d = _sidecar_dir(sf_dir, pages_per_doc, num_seeds)
-    parts = [
-        f"""
-    WITH pages AS (SELECT url FROM read_parquet('{d}/pages.parquet')),
-    links AS (SELECT src_url, dst_url FROM read_parquet('{d}/links.parquet')),
-    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM pages),
-    deg AS (SELECT src_url, CAST(COUNT(*) AS DOUBLE) AS dc
-            FROM links GROUP BY src_url),
-    ew AS (SELECT l.src_url, l.dst_url, 1.0 / deg.dc AS w
-           FROM links l JOIN deg ON deg.src_url = l.src_url),
-    sd AS (SELECT url FROM read_parquet('{d}/seeds.parquet')),
+    return _pagerank_unroll_sql(
+        d,
+        f"""sd AS (SELECT url FROM read_parquet('{d}/seeds.parquet')),
     sc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM sd),
     tv AS (SELECT p.url,
            CASE WHEN s.url IS NOT NULL THEN 1.0 / sc.c ELSE 0.0 END AS t
-           FROM pages p LEFT JOIN sd s ON s.url = p.url CROSS JOIN sc),
-    r0 AS (SELECT url, t AS r FROM tv)"""
-    ]
-    for t in range(_ITERS):
-        parts.append(
-            f""",
-    d{t} AS (SELECT COALESCE(SUM(r.r), 0.0) AS m FROM r{t} r
-             WHERE r.url NOT IN (SELECT src_url FROM links)),
-    i{t} AS (SELECT e.dst_url AS url, SUM(r.r * e.w) AS s
-             FROM ew e JOIN r{t} r ON r.url = e.src_url
-             GROUP BY e.dst_url),
-    r{t + 1} AS (SELECT v.url,
-               {_TELEPORT} * v.t
-               + {_ALPHA} * (COALESCE(i.s, 0.0) + d{t}.m * v.t) AS r
-             FROM tv v LEFT JOIN i{t} i ON i.url = v.url
-             CROSS JOIN d{t})"""
-        )
-    parts.append(
-        f"""
-    SELECT r.url,
-           CAST(FLOOR(r.r * nn.c * 10000 + 0.5) AS BIGINT) AS rank_bp
-    FROM r{_ITERS} r CROSS JOIN nn ORDER BY r.url"""
+           FROM pages p LEFT JOIN sd s ON s.url = p.url CROSS JOIN sc)""",
     )
-    return "".join(parts)
 
 
 @query("link_pagerank_seeded", _pagerank_seeded_oracle_sql(DRIVER_ORACLE_SF))

@@ -2065,20 +2065,23 @@ def _connected_components(pairs, parts: int):
     # (the link_pagerank lesson: 16 partitions cost ~1.6 s/round on a
     # 1k-row table). Right-size to the measured edge count; the count
     # is free on the materialized dataset.
-    parts_eff = max(2, min(parts, edges.count() // 1_000))
-    if parts_eff != parts:
-        parts = parts_eff
-
+    def make_repart(p: int):
         def repart(t: pa.Table) -> pa.Table:
             key = t.column("key").to_numpy()
             return t.set_column(
                 t.schema.get_field_index("part"),
                 "part",
-                pa.array(_cc_part(key, parts_eff), pa.int64()),
+                pa.array(_cc_part(key, p), pa.int64()),
             )
 
+        return repart
+
+    parts_caller = parts
+    parts_eff = max(2, min(parts, edges.count() // 1_000))
+    if parts_eff != parts:
+        parts = parts_eff
         edges = edges.map_batches(
-            repart, batch_format="pyarrow"
+            make_repart(parts_eff), batch_format="pyarrow"
         ).materialize()
 
     def relax_part(g: pa.Table) -> pa.Table:
@@ -2120,7 +2123,14 @@ def _connected_components(pairs, parts: int):
         ).materialize()
         cur = labels.sum("val")
         if cur == prev:
-            return labels.select_columns(["key", "val", "part"])
+            out = labels.select_columns(["key", "val", "part"])
+            if parts != parts_caller:
+                # contract: returned part values use the CALLER's
+                # modulus, whatever the loop right-sized internally
+                out = out.map_batches(
+                    make_repart(parts_caller), batch_format="pyarrow"
+                )
+            return out
         prev = cur
     raise RuntimeError(
         f"connected components did not converge in {_CC_MAX_ROUNDS} "
@@ -2161,22 +2171,10 @@ def near_dup_clusters(sf_dir: str):
     vectorized Arrow group_by per partition). Composes the pair stage
     unchanged, so the pair semantics stay oracle-identical."""
     parts = _pool_size()
+    # contract: the returned label rows' part column uses THIS parts
+    # value (the CC loop right-sizes internally and relabels on return),
+    # so the corpus-wide doc/label merge below co-locates correctly
     labels = _connected_components(minhash_lsh_dupes(sf_dir), parts)
-
-    # the CC loop right-sizes its own partition count to the dup
-    # subgraph (see _connected_components), so the label rows' part
-    # column may use a different modulus than the corpus-wide merge
-    # below — reassign it so a doc's anchor row and its labels
-    # co-locate (tiny table, one cheap pass)
-    def relabel_part(t: pa.Table) -> pa.Table:
-        keys = t.column("key").to_numpy()
-        return t.set_column(
-            t.schema.get_field_index("part"),
-            "part",
-            pa.array(_cc_part(keys, parts), pa.int64()),
-        )
-
-    labels = labels.map_batches(relabel_part, batch_format="pyarrow")
 
     def doc_rows(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy()
@@ -2910,7 +2908,15 @@ def boilerplate_span_ratio(sf_dir: str):
     dup = (
         dup_ngram_spans(sf_dir).select_columns(["gram"]).to_pandas()
     )  # bounded: duplicated spans only
-    spans = np.sort(np.asarray(dup["gram"].to_numpy(), dtype=str))
+    # broadcast RAW digests ('S16'), not hex: halves the broadcast and
+    # lets the hot loop probe with .digest() — no per-window hexdigest
+    # string materialization, fixed-width byte compares in searchsorted
+    spans = np.sort(
+        np.asarray(
+            [bytes.fromhex(g) for g in dup["gram"].to_numpy()],
+            dtype="S16",
+        )
+    )
     bcast = ray.put(spans)
 
     def ratio(t: pa.Table) -> pa.Table:
@@ -2928,10 +2934,10 @@ def boilerplate_span_ratio(sf_dir: str):
                 [
                     hashlib.md5(
                         " ".join(ws[j : j + _SPAN_K]).encode("utf-8")
-                    ).hexdigest()
+                    ).digest()
                     for j in range(len(ws) - _SPAN_K + 1)
                 ],
-                dtype=str,
+                dtype="S16",
             )
             si = np.searchsorted(b_spans, grams)
             sc = np.minimum(si, max(b_spans.size - 1, 0))
