@@ -58,7 +58,7 @@ def oracle_sql() -> dict[str, str]:
     # sf now so the oracle never races the query side (idempotent,
     # content-keyed /tmp path, ~1s at sf0.01). Guarded so a missing
     # testdata dir degrades to just the flagship pair failing, not
-    # oracle_sql() itself dying for all 34 queries.
+    # oracle_sql() itself dying for every query.
     import os
 
     from raycrawl.pipelines.flagship import (
