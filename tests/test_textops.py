@@ -395,3 +395,36 @@ def test_sampled_spans_are_exact_restriction_of_full(ray_session):
     # ~1/8 by design; generous band (small-sample binomial)
     ratio = len(samp) / len(full)
     assert 0.04 < ratio < 0.25
+
+
+def test_hash_selected_operators_stable_under_resharding(
+    ray_session, monkeypatch
+):
+    """stratified_sample_topk and token_quantiles_by_lang both claim
+    batching-independence (content-hash rank selection / distinct-value
+    compression) — pin it by forcing a different read fan-out and
+    asserting byte-identical output."""
+    import pandas as pd
+
+    from raycrawl.pipelines import analytics
+    from raycrawl.pipelines.textops import (
+        stratified_sample_topk,
+        token_quantiles_by_lang,
+    )
+
+    def norm(ds):
+        df = ds.to_pandas()
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    base = [
+        norm(stratified_sample_topk(SF)),
+        norm(token_quantiles_by_lang(SF)),
+    ]
+    monkeypatch.setattr(analytics, "_nblocks", lambda sf, t: 3)
+    resharded = [
+        norm(stratified_sample_topk(SF)),
+        norm(token_quantiles_by_lang(SF)),
+    ]
+    for a, b in zip(base, resharded):
+        pd.testing.assert_frame_equal(a, b)
