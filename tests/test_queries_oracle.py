@@ -325,3 +325,69 @@ def test_trailing_window_frame_matches_bruteforce(registry, tmp_path):
         ]
     )
     assert (by_key["window_cents"].to_numpy() == ref_c).all()
+
+
+def test_asof_join_tie_break_and_left_semantics(registry, tmp_path):
+    """The sf data never produces a same-date order tie at the winning
+    date nor an event with no qualifying order (measured: 0 of each),
+    so the as-of join's tie-break (max o_orderkey) and LEFT semantics
+    are invisible to the driver hash check — pin both, plus the
+    at-or-before boundary and the cross-key cummax-leak guard, on an
+    adversarial fixture; re-check the SQL twin on the same file."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def ts(v):
+        return np.int64(v)
+
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([10, 11, 5], pa.int64()),
+            "o_custkey": pa.array([1, 1, 1], pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 3, pa.string()),
+            "o_totalprice": pa.array([1.0] * 3, pa.float64()),
+            "o_orderdate": pa.array(
+                np.array([100, 100, 50], "datetime64[us]")
+            ),
+            "o_orderpriority": pa.array(["1"] * 3, pa.string()),
+        }
+    )
+    events = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "ts": pa.array(np.array([100, 99, 40, 100], "datetime64[us]")),
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "event_type": pa.array(["click"] * 4, pa.string()),
+            "value": pa.array([0.0] * 4, pa.float64()),
+            "props": pa.array([""] * 4, pa.string()),
+        }
+    )
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    pq.write_table(events, str(tmp_path / "events.parquet"))
+
+    queries, oracles = registry
+    got = _to_pandas(queries["asof_join_latest_order"](str(tmp_path)))
+    by_eid = got.set_index("event_id").sort_index()
+    # tie at the winning date (100): max o_orderkey (11) wins, and the
+    # at-or-before boundary includes an order AT the event's own ts
+    assert by_eid.loc[1, "asof_orderkey"] == 11
+    # strictly-earlier date wins over nothing
+    assert by_eid.loc[2, "asof_orderkey"] == 5
+    # LEFT semantics: no qualifying order -> row kept with nulls
+    assert pd.isna(by_eid.loc[3, "asof_orderkey"])
+    # cross-key leak guard: user 2 must not inherit user 1's orders
+    assert pd.isna(by_eid.loc[4, "asof_orderkey"])
+    assert len(got) == 4
+
+    con = duckdb.connect()
+    for t in ("orders", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    want = _normalize(con.execute(oracles["asof_join_latest_order"]).df())
+    pd.testing.assert_frame_equal(
+        _normalize(got), want, check_dtype=False
+    )
