@@ -391,3 +391,64 @@ def test_asof_join_tie_break_and_left_semantics(registry, tmp_path):
     pd.testing.assert_frame_equal(
         _normalize(got), want, check_dtype=False
     )
+
+
+def test_range_join_window_boundaries(registry, tmp_path):
+    """The sf data never lands an event exactly on the range join's
+    window bounds (measured: 0 at each) — pin the [inclusive,
+    exclusive) semantics on a fixture: an event AT o_orderdate counts,
+    an event AT o_orderdate + 7 days does not; twin re-checked on the
+    same file."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    day_us = 86_400_000_000
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1], pa.int64()),
+            "o_custkey": pa.array([7], pa.int64()),
+            "o_orderstatus": pa.array(["O"], pa.string()),
+            "o_totalprice": pa.array([1.0], pa.float64()),
+            "o_orderdate": pa.array(
+                np.array([100 * day_us], "datetime64[us]")
+            ),
+            "o_orderpriority": pa.array(["1"], pa.string()),
+        }
+    )
+    ev_ts = [
+        100 * day_us,          # exactly at lower bound: COUNTS
+        103 * day_us,          # mid-window: counts
+        107 * day_us - 1,      # last us of the window: counts
+        107 * day_us,          # exactly at upper bound: does NOT
+        99 * day_us,           # before the window: does not
+    ]
+    events = pa.table(
+        {
+            "event_id": pa.array(range(len(ev_ts)), pa.int64()),
+            "ts": pa.array(np.array(ev_ts, "datetime64[us]")),
+            "user_id": pa.array([7] * len(ev_ts), pa.int64()),
+            "event_type": pa.array(["click"] * len(ev_ts), pa.string()),
+            "value": pa.array([0.0] * len(ev_ts), pa.float64()),
+            "props": pa.array([""] * len(ev_ts), pa.string()),
+        }
+    )
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+    pq.write_table(events, str(tmp_path / "events.parquet"))
+
+    queries, oracles = registry
+    got = _to_pandas(queries["range_join_order_events"](str(tmp_path)))
+    assert len(got) == 1
+    assert int(got["n_events"].iloc[0]) == 3
+
+    con = duckdb.connect()
+    for t in ("orders", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path}/{t}.parquet')"
+        )
+    want = _normalize(con.execute(oracles["range_join_order_events"]).df())
+    pd.testing.assert_frame_equal(
+        _normalize(got), want, check_dtype=False
+    )
