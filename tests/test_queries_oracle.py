@@ -452,3 +452,51 @@ def test_range_join_window_boundaries(registry, tmp_path):
     pd.testing.assert_frame_equal(
         _normalize(got), want, check_dtype=False
     )
+
+
+def test_sessionize_gap_boundary(registry, tmp_path):
+    """The sf data has no exact 30-minute gap between consecutive
+    same-user events (measured: 0), so the sessionizer's strict->
+    rule is invisible to the hash check — pin it: a gap of exactly 30
+    minutes stays in the SAME session, 30 minutes + 1 us starts a new
+    one; twin re-checked on the same file."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    m30 = 30 * 60 * 1_000_000
+    ev = [
+        (1, 0),               # session 1 start
+        (1, m30),             # exactly 30 min later: SAME session
+        (1, 2 * m30 + 1),     # 30 min + 1 us after prev: NEW session
+        (2, 0),               # single-event user: one session
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array(range(len(ev)), pa.int64()),
+            "ts": pa.array(
+                np.array([x[1] for x in ev], "datetime64[us]")
+            ),
+            "user_id": pa.array([x[0] for x in ev], pa.int64()),
+            "event_type": pa.array(["click"] * len(ev), pa.string()),
+            "value": pa.array([0.0] * len(ev), pa.float64()),
+            "props": pa.array([""] * len(ev), pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    queries, oracles = registry
+    got = _to_pandas(queries["events_sessionize"](str(tmp_path)))
+    by_user = dict(zip(got["user_id"], got["n_sessions"]))
+    assert by_user == {1: 2, 2: 1}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    want = _normalize(con.execute(oracles["events_sessionize"]).df())
+    pd.testing.assert_frame_equal(
+        _normalize(got), want, check_dtype=False
+    )
