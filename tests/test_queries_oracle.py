@@ -500,3 +500,50 @@ def test_sessionize_gap_boundary(registry, tmp_path):
     pd.testing.assert_frame_equal(
         _normalize(got), want, check_dtype=False
     )
+
+
+def test_upsert_and_dedup_timestamp_tie_break(registry, tmp_path):
+    """No two same-user events share a timestamp in the sf data
+    (measured: 0 groups), so the ts-tie event_id tie-break of BOTH
+    keep-first (dedup_first_by_key: min event_id) and last-write-wins
+    (upsert_latest: max event_id) was invisible to the hash check —
+    pin both on one fixture; twins re-checked on the same file."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ev = [  # (user, ts, event_id)
+        (1, 100, 7), (1, 100, 3),   # tie at the FIRST ts: min id 3 wins first
+        (1, 200, 5), (1, 200, 9),   # tie at the LAST ts: max id 9 wins last
+        (2, 50, 1),                 # singleton
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([x[2] for x in ev], pa.int64()),
+            "ts": pa.array(np.array([x[1] for x in ev], "datetime64[us]")),
+            "user_id": pa.array([x[0] for x in ev], pa.int64()),
+            "event_type": pa.array(["click"] * len(ev), pa.string()),
+            "value": pa.array([0.0] * len(ev), pa.float64()),
+            "props": pa.array([""] * len(ev), pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    queries, oracles = registry
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    first = _to_pandas(queries["dedup_first_by_key"](str(tmp_path)))
+    by_user = dict(zip(first["user_id"], first["first_event_id"]))
+    assert by_user == {1: 3, 2: 1}
+    last = _to_pandas(queries["upsert_latest"](str(tmp_path)))
+    by_user = dict(zip(last["user_id"], last["last_event_id"]))
+    assert by_user == {1: 9, 2: 1}
+    for name, got in (("dedup_first_by_key", first), ("upsert_latest", last)):
+        want = _normalize(con.execute(oracles[name]).df())
+        pd.testing.assert_frame_equal(
+            _normalize(got), want, check_dtype=False
+        )
