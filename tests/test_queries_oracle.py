@@ -547,3 +547,46 @@ def test_upsert_and_dedup_timestamp_tie_break(registry, tmp_path):
         pd.testing.assert_frame_equal(
             _normalize(got), want, check_dtype=False
         )
+
+
+def test_topk_per_group_price_tie_at_rank_boundary(registry, tmp_path):
+    """No two same-status orders share a price in the sf data, so the
+    o_orderkey tie-break at the rank-k boundary was invisible to the
+    hash check — pin it: four orders tie at the top price and only
+    the three smallest orderkeys survive; twin re-checked on the same
+    file."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([4, 2, 9, 1, 5], pa.int64()),
+            "o_custkey": pa.array([1] * 5, pa.int64()),
+            "o_orderstatus": pa.array(["O"] * 5, pa.string()),
+            # four-way tie at 100.0 straddling the k=3 boundary
+            "o_totalprice": pa.array(
+                [100.0, 100.0, 100.0, 100.0, 50.0], pa.float64()
+            ),
+            "o_orderdate": pa.array(
+                np.zeros(5, "datetime64[us]")
+            ),
+            "o_orderpriority": pa.array(["1"] * 5, pa.string()),
+        }
+    )
+    pq.write_table(orders, str(tmp_path / "orders.parquet"))
+
+    queries, oracles = registry
+    got = _to_pandas(queries["topk_orders_per_status"](str(tmp_path)))
+    assert sorted(got["o_orderkey"].tolist()) == [1, 2, 4]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/orders.parquet')"
+    )
+    want = _normalize(con.execute(oracles["topk_orders_per_status"]).df())
+    pd.testing.assert_frame_equal(
+        _normalize(got), want, check_dtype=False
+    )
