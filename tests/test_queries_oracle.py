@@ -590,3 +590,49 @@ def test_topk_per_group_price_tie_at_rank_boundary(registry, tmp_path):
     pd.testing.assert_frame_equal(
         _normalize(got), want, check_dtype=False
     )
+
+
+def test_queue_order_ts_tie_break(registry, tmp_path):
+    """No two events share a timestamp in the sf data, so the
+    event_id tie-break inside the priority orderings (peek_topk and
+    weighted_queue_order) was invisible to the hash check — pin it on
+    a fixture with same-ts events within and across weight classes;
+    twins re-checked on the same file."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ev = [  # (event_id, ts, type) — error outranks click at any ts
+        (9, 100, "click"),
+        (2, 100, "click"),   # same (w, ts): id 2 before id 9
+        (5, 100, "error"),   # higher weight wins despite same ts
+        (7, 50, "error"),    # same weight: earlier ts first
+    ]
+    t = pa.table(
+        {
+            "event_id": pa.array([x[0] for x in ev], pa.int64()),
+            "ts": pa.array(np.array([x[1] for x in ev], "datetime64[us]")),
+            "user_id": pa.array([1] * len(ev), pa.int64()),
+            "event_type": pa.array([x[2] for x in ev], pa.string()),
+            "value": pa.array([0.0] * len(ev), pa.float64()),
+            "props": pa.array([""] * len(ev), pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    queries, oracles = registry
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    peek = _to_pandas(queries["peek_topk"](str(tmp_path)))
+    assert peek["event_id"].tolist() == [7, 2, 5, 9]
+    weighted = _to_pandas(queries["weighted_queue_order"](str(tmp_path)))
+    assert weighted["event_id"].tolist() == [7, 5, 2, 9]
+    for name, got in (("peek_topk", peek), ("weighted_queue_order", weighted)):
+        want = _normalize(con.execute(oracles[name]).df())
+        pd.testing.assert_frame_equal(
+            _normalize(got), want, check_dtype=False
+        )
