@@ -1171,3 +1171,155 @@ def orders_trailing_window(sf_dir: str):
         .groupby("part", num_partitions=_KEY_PARTS)
         .map_groups(frame_part, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch (the "novel sketch" slot of SURVEY §2.11):
+# approximate COUNT(DISTINCT user_id) per event_type via the k-minimum-
+# values estimator — at 100 TB an exact distinct is a full shuffle of
+# every key, while the KMV state is K hashes per group, mergeable by
+# set-union + truncate (per-batch partials below). Unlike HLL the whole
+# sketch is DETERMINISTIC given the hash, so the DuckDB twin reproduces
+# it bit-for-bit: md5-prefix hashes compare identically as hex strings
+# and as integers, the kth minimum is a window rank, and the estimate
+# (K-1) * 2^64 // kth_min is one HUGEINT floor division. Groups with
+# fewer than K distinct hashes degrade to the EXACT count (every batch
+# then keeps all its hashes, so the merged union is the full set).
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+
+
+def _kmv_oracle_sql() -> str:
+    return f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             substr(md5(CAST(user_id AS VARCHAR)), 1, 16) AS hx
+      FROM events
+    ),
+    rk AS (
+      SELECT event_type, hx,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hx) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+      FROM h
+    ),
+    kth AS (
+      SELECT event_type, CAST(LEAST(cnt, {_KMV_K}) AS BIGINT) AS n_kept,
+             hx AS kth_min, cnt
+      FROM rk WHERE rn = LEAST(cnt, {_KMV_K})
+    ),
+    num AS (
+      SELECT event_type, n_kept, kth_min, cnt,
+        list_sum(list_transform(range(1, 17),
+          i -> CAST(strpos('0123456789abcdef',
+                           substr(kth_min, CAST(i AS INT), 1)) - 1
+                    AS HUGEINT)
+               * CAST(power(2, 4 * (16 - i)) AS HUGEINT))) AS kv
+      FROM kth
+    )
+    SELECT event_type, n_kept, kth_min,
+      CAST(CASE WHEN cnt < {_KMV_K} THEN cnt
+           ELSE (CAST({_KMV_K - 1} AS HUGEINT) * 18446744073709551616)
+                // kv END AS BIGINT) AS est_distinct
+    FROM num
+    """
+
+
+@query("kmv_distinct_users", _kmv_oracle_sql())
+def kmv_distinct_users(sf_dir: str):
+    """Approximate distinct users per event_type via a KMV sketch
+    (family comment above). Shape:
+
+      pass 1  map_batches partials — per (batch, event_type) the K
+              smallest DISTINCT md5-prefix hashes (vectorized: one
+              np.unique over the batch's (event_type, hash) pairs,
+              then a per-group head-K on the already-sorted runs),
+      pass 2  groupby(event_type).map_groups merge — set-union the
+              partials, truncate to K, emit ONE row per group with
+              the exact-integer estimate.
+
+    Partial volume is <= K x groups x batches rows (28 B each); no
+    row-level shuffle ever happens — the groupby moves sketches, not
+    events. The md5 cost is amortized by a per-process digest cache
+    keyed by user_id (users repeat across events)."""
+    import hashlib
+
+    def partial(t: pa.Table) -> pa.Table:
+        ets = np.asarray(t.column("event_type").to_pylist(), dtype=str)
+        uids = t.column("user_id").to_numpy()
+        # hash distinct uids once per batch (and per process via cache)
+        u_uids, inv = np.unique(uids, return_inverse=True)
+        cache = _bounded_kmv_cache()
+        hs = np.array(
+            [
+                cache.get(int(u))
+                or cache.setdefault(
+                    int(u),
+                    hashlib.md5(str(int(u)).encode()).hexdigest()[:16],
+                )
+                for u in u_uids
+            ],
+            dtype=str,
+        )[inv]
+        if ets.size == 0:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "hx": pa.array([], pa.string()),
+                }
+            )
+        # distinct (event_type, hash) pairs, sorted by (type, hash):
+        # one lexsort + neighbor mask (no string concatenation — numpy
+        # unicode arrays truncate NUL padding, so a sep-join is unsafe)
+        order = np.lexsort((hs, ets))
+        se, sh = ets[order], hs[order]
+        first = np.r_[True, (se[1:] != se[:-1]) | (sh[1:] != sh[:-1])]
+        g_et, g_hx = se[first], sh[first]
+        # each event_type's hashes now form a sorted run; keep the
+        # first K of each run
+        starts = np.r_[0, np.flatnonzero(g_et[1:] != g_et[:-1]) + 1]
+        ends = np.r_[starts[1:], g_et.size]
+        keep = np.zeros(g_et.size, dtype=bool)
+        for s, e in zip(starts, ends):
+            keep[s : min(e, s + _KMV_K)] = True
+        return pa.table(
+            {
+                "event_type": pa.array(g_et[keep].tolist(), pa.string()),
+                "hx": pa.array(g_hx[keep].tolist(), pa.string()),
+            }
+        )
+
+    def merge(g: pa.Table) -> pa.Table:
+        hs = np.unique(np.asarray(g.column("hx").to_pylist(), dtype=str))
+        n_kept = min(_KMV_K, hs.size)
+        kth = str(hs[n_kept - 1])
+        if hs.size < _KMV_K:
+            est = int(hs.size)
+        else:
+            est = ((_KMV_K - 1) << 64) // int(kth, 16)
+        return pa.table(
+            {
+                "event_type": pa.array(
+                    [g.column("event_type")[0].as_py()], pa.string()
+                ),
+                "n_kept": pa.array([n_kept], pa.int64()),
+                "kth_min": pa.array([kth], pa.string()),
+                "est_distinct": pa.array([est], pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_type", "user_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
+_KMV_CACHE: dict[int, str] = {}
+
+
+def _bounded_kmv_cache() -> dict[int, str]:
+    if len(_KMV_CACHE) > 2_000_000:
+        _KMV_CACHE.clear()
+    return _KMV_CACHE

@@ -3122,3 +3122,186 @@ def stratified_sample_topk(sf_dir: str):
         .groupby("lang")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 search ranking (SURVEY §2.11 family: retrieval over the corpus;
+# complements tfidf_topk_terms, which ranks TERMS within a doc — this
+# ranks DOCS against a query). The score is INTEGER-exact end to end:
+# with k1 = 6/5 and b = 3/4, multiplying the per-term Okapi fraction
+# through by 20*total_tokens turns it into a ratio of integers,
+#
+#   tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+#     = 44*tf*total / (20*total*tf + 6*total + 18*dl*N),
+#
+# so per-term score = (idf_scaled * 44 * tf * total) // denom is one
+# integer floor division on both engines (idf pre-rounded to a scaled
+# int, the tfidf pattern; Lucene's ln(1 + (N-df+.5)/(df+.5)) variant so
+# idf > 0 always). Top-k selection compares exact integers with a
+# (score DESC, doc_id ASC) tie-break. Intermediates use HUGEINT /
+# Python int — the product overflows int64 around 10^5x this corpus.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("merge", "scan", "table", "window")  # sorted
+_BM25_K = 10
+_BM25_IDF_SCALE = 10_000
+
+
+def _bm25_oracle_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+    WITH w AS (
+      SELECT doc_id,
+             UNNEST(regexp_extract_all(text, '{WORD_REGEX_SQL}')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+           FROM w GROUP BY doc_id),
+    stats AS (SELECT CAST(SUM(dl) AS BIGINT) AS total,
+                     CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+    q AS (SELECT UNNEST([{terms}]) AS term),
+    df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+           FROM w JOIN q USING (term) GROUP BY term),
+    idf AS (SELECT term,
+                   CAST(FLOOR(LN(1 + (s.n - df + 0.5) / (df + 0.5))
+                              * {_BM25_IDF_SCALE} + 0.5) AS BIGINT) AS idf
+            FROM df CROSS JOIN stats s),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM w JOIN q USING (term) GROUP BY doc_id, term),
+    sc AS (SELECT t.doc_id,
+                  CAST(SUM((CAST(i.idf AS HUGEINT) * 44 * t.tf * s.total)
+                       // (20 * CAST(s.total AS HUGEINT) * t.tf
+                           + 6 * s.total + 18 * d.dl * s.n))
+                       AS BIGINT) AS score
+           FROM tf t JOIN idf i USING (term) JOIN dl d USING (doc_id)
+           CROSS JOIN stats s
+           GROUP BY t.doc_id),
+    rk AS (SELECT doc_id, score,
+                  ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+           FROM sc)
+    SELECT doc_id, CAST(rn AS BIGINT) AS rank, score
+    FROM rk WHERE rn <= {_BM25_K}
+    """
+
+
+@query("bm25_search_topk", _bm25_oracle_sql())
+def bm25_search_topk(sf_dir: str):
+    """Top-{k} documents by BM25 relevance to a fixed query term set
+    (see the family comment above). Two passes, both shuffle-free:
+
+      pass 1  per-batch corpus-stats partials — ONE row per batch
+              (n_docs, total_tokens, df per query term) — combined on
+              the driver (batches x 1 rows) into (N, total, idf),
+              broadcast ONCE via ray.put,
+      pass 2  per-batch scoring + LOCAL top-k: each doc's tf vector
+              comes from one np.unique + searchsorted against the
+              (tiny, sorted) query-term array; the exact-integer
+              per-term divisions run over matched (doc, term) pairs
+              only; each batch emits at most k rows, so the driver
+              merge is k x batches regardless of corpus size.
+
+    At 100 TB the same shape holds: pass-1 partials are O(batches),
+    pass-2 output is O(k * batches); neither pass shuffles documents.
+    """
+    import ray
+
+    qterms = np.array(_BM25_TERMS, dtype=str)  # sorted by construction
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        n_tok = 0
+        df = np.zeros(qterms.size, dtype=np.int64)
+        for x in texts:
+            words = WORD_REGEX.findall(x)
+            n_tok += len(words)
+            if words:
+                u = np.unique(np.array(words, dtype=str))
+                pos = np.searchsorted(u, qterms)
+                ok = pos < u.size
+                ok[ok] &= u[pos[ok]] == qterms[ok]
+                df += ok
+        cols: dict = {
+            "n_docs": pa.array([len(texts)], pa.int64()),
+            "n_tokens": pa.array([n_tok], pa.int64()),
+        }
+        for j in range(qterms.size):
+            cols[f"df_{j}"] = pa.array([int(df[j])], pa.int64())
+        return pa.table(cols)
+
+    import math
+
+    parts = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(stats_partial, batch_format="pyarrow")
+        .to_pandas()  # bounded: one row per batch
+    )
+    n_docs = int(parts["n_docs"].sum())
+    total = int(parts["n_tokens"].sum())
+    idf = np.array(
+        [
+            int(
+                math.floor(
+                    math.log(
+                        1
+                        + (n_docs - int(parts[f"df_{j}"].sum()) + 0.5)
+                        / (int(parts[f"df_{j}"].sum()) + 0.5)
+                    )
+                    * _BM25_IDF_SCALE
+                    + 0.5
+                )
+            )
+            for j in range(qterms.size)
+        ],
+        dtype=np.int64,
+    )
+    bcast = ray.put((qterms, idf, n_docs, total))
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        b_terms, b_idf, b_n, b_total = ray.get(bcast)
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        out: list[tuple[int, int]] = []
+        for i, x in enumerate(texts):
+            words = WORD_REGEX.findall(x)
+            if not words:
+                continue
+            u, c = np.unique(np.array(words, dtype=str), return_counts=True)
+            pos = np.searchsorted(u, b_terms)
+            ok = pos < u.size
+            ok[ok] &= u[pos[ok]] == b_terms[ok]
+            if not ok.any():
+                continue
+            dl = len(words)
+            score = 0
+            for j in np.flatnonzero(ok):
+                tf = int(c[pos[j]])
+                score += (int(b_idf[j]) * 44 * tf * b_total) // (
+                    20 * b_total * tf + 6 * b_total + 18 * dl * b_n
+                )
+            out.append((int(ids[i]), score))
+        out.sort(key=lambda p: (-p[1], p[0]))
+        out = out[:_BM25_K]
+        return pa.table(
+            {
+                "doc_id": pa.array([p[0] for p in out], pa.int64()),
+                "score": pa.array([p[1] for p in out], pa.int64()),
+            }
+        )
+
+    merged = (
+        _read(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(topk_partial, batch_format="pyarrow")
+        .to_pandas()  # bounded: k rows per batch
+    )
+    merged = merged.sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    ).head(_BM25_K)
+    return pa.table(
+        {
+            "doc_id": pa.array(merged["doc_id"].to_numpy(), pa.int64()),
+            "rank": pa.array(
+                np.arange(1, len(merged) + 1), pa.int64()
+            ),
+            "score": pa.array(merged["score"].to_numpy(), pa.int64()),
+        }
+    )

@@ -54,11 +54,11 @@ def registry(ray_session):
 
 def test_all_queries_have_callables(registry):
     queries, oracles = registry
-    assert len(queries) >= 60
+    assert len(queries) >= 62
     assert set(oracles) <= set(queries)
     # every query hash-checks against DuckDB; a regression that
     # silently drops a query to rows-only should fail here
-    assert len(oracles) >= 60
+    assert len(oracles) >= 62
 
 
 @pytest.mark.parametrize(
@@ -83,7 +83,8 @@ def test_all_queries_have_callables(registry):
         "tfidf_topk_terms", "dup_ngram_spans", "boilerplate_span_ratio",
         "dup_ngram_spans_sampled", "lang_confusion_matrix",
         "event_funnel_counts", "orders_trailing_window",
-        "stratified_sample_topk",
+        "stratified_sample_topk", "bm25_search_topk",
+        "kmv_distinct_users",
     ],
 )
 def test_query_matches_oracle(registry, con, name):
