@@ -55,6 +55,8 @@ QUERY_NAMES = [
     "asof_join_latest_order",
     "window_hopping_counts",
     "token_quantiles_by_lang",
+    "bm25_search_topk",
+    "kmv_distinct_users",
 ]
 
 
