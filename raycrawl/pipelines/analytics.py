@@ -59,6 +59,20 @@ def _read(sf_dir: str, table: str, columns=None):
     )
 
 
+# Per-PROCESS digest-cache policy shared by the task-pool sketch stages
+# here and in textops.py: Ray reuses worker processes across tasks, so a
+# module-level dict amortizes repeated hashing without actor-pool
+# spin-up; cleared when it outgrows the cap so long-lived workers
+# running many queries cannot leak.
+_CACHE_CAP = 2_000_000
+
+
+def _bounded(cache: dict) -> dict:
+    if len(cache) > _CACHE_CAP:
+        cache.clear()
+    return cache
+
+
 # ---------------------------------------------------------------------------
 # Queue / frontier analogues (SURVEY §2.5 A1-A6, §2.6 O1/O4, §2.4 J2-J4)
 # ---------------------------------------------------------------------------
@@ -1249,7 +1263,7 @@ def kmv_distinct_users(sf_dir: str):
         uids = t.column("user_id").to_numpy()
         # hash distinct uids once per batch (and per process via cache)
         u_uids, inv = np.unique(uids, return_inverse=True)
-        cache = _bounded_kmv_cache()
+        cache = _bounded(_KMV_CACHE)
         hs = np.array(
             [
                 cache.get(int(u))
@@ -1317,9 +1331,3 @@ def kmv_distinct_users(sf_dir: str):
 
 
 _KMV_CACHE: dict[int, str] = {}
-
-
-def _bounded_kmv_cache() -> dict[int, str]:
-    if len(_KMV_CACHE) > 2_000_000:
-        _KMV_CACHE.clear()
-    return _KMV_CACHE

@@ -42,7 +42,7 @@ from ..functions.textstats import (
     quality_score,
     token_counts_batch,
 )
-from .analytics import _read, query
+from .analytics import _bounded, _read, query
 
 
 def _pool_size(cap: int = 16) -> int:
@@ -61,17 +61,10 @@ def _pool_size(cap: int = 16) -> int:
 # worker processes across tasks, so a module-level dict gives the same
 # vocabulary-converges amortization an actor attribute did, without the
 # pool spin-up (measured ~1.4 s, 8x these queries' compute at bench
-# scale). Bounded: cleared when they outgrow the cap so long-lived
-# workers running many queries cannot leak.
-_CACHE_CAP = 2_000_000
+# scale). The bounded-cache policy (_bounded, clear past _CACHE_CAP)
+# lives in analytics.py and is shared with its KMV digest cache.
 _SHINGLE_CACHE: dict[str, int] = {}
 _WORD_CACHE: dict[str, int] = {}
-
-
-def _bounded(cache: dict) -> dict:
-    if len(cache) > _CACHE_CAP:
-        cache.clear()
-    return cache
 
 
 # ---------------------------------------------------------------------------
@@ -3157,8 +3150,13 @@ def _bm25_oracle_sql() -> str:
     ),
     dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
            FROM w GROUP BY doc_id),
-    stats AS (SELECT CAST(SUM(dl) AS BIGINT) AS total,
-                     CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+    -- N counts ALL documents (a zero-token doc still raises every
+    -- other doc's length penalty), matching the pipeline's per-batch
+    -- len(texts) partial and the tfidf_topk_terms N convention; dl
+    -- would undercount it because UNNEST of an empty token list
+    -- emits no w rows at all.
+    stats AS (SELECT (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS total,
+                     (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n),
     q AS (SELECT UNNEST([{terms}]) AS term),
     df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
            FROM w JOIN q USING (term) GROUP BY term),

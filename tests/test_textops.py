@@ -523,3 +523,54 @@ def test_bm25_score_is_exact_integer_okapi(ray_session):
         assert abs(row["score"] / _BM25_IDF_SCALE - float_score) < (
             len(_BM25_TERMS) / _BM25_IDF_SCALE * 10
         )
+
+
+def test_bm25_oracle_agrees_on_zero_token_docs(ray_session, tmp_path):
+    """Regression: a corpus containing empty / whitespace-only docs.
+    The pipeline defines N = all documents (len(texts) per batch); the
+    oracle must too — its dl CTE silently drops zero-token docs because
+    UNNEST of an empty token list emits no rows, so counting dl rows
+    would undercount N and shrink every length penalty. Pin pipeline ==
+    oracle on a fixture where the two definitions differ."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raycrawl.pipelines.textops import _bm25_oracle_sql, bm25_search_topk
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(1, 8)), pa.int64()),
+            "text": pa.array(
+                [
+                    "merge scan table window",
+                    "merge merge scan foo bar",
+                    "table window qux",
+                    "",                # zero tokens
+                    "   ",             # whitespace only — zero tokens
+                    "scan",
+                    "unrelated words entirely",
+                ]
+            ),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+
+    got = bm25_search_topk(str(tmp_path)).to_pandas()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.sql(_bm25_oracle_sql()).df()
+
+    def norm(df):
+        df = df[sorted(df.columns)].astype("int64")
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(norm(got), norm(want))
+    # the zero-token docs must count toward N: with N=7 every scoring
+    # doc's dl < avgdl penalty differs from the N=5 (dl-only) reading
+    assert len(got) == 4  # only docs containing a query term score
