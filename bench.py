@@ -57,6 +57,7 @@ QUERY_NAMES = [
     "token_quantiles_by_lang",
     "bm25_search_topk",
     "kmv_distinct_users",
+    "dedup_keep_best",
 ]
 
 

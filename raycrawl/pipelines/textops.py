@@ -180,13 +180,12 @@ def langid_heuristic(sf_dir: str):
     )
 
 
-@query(
-    "quality_scores",
-    # mirrors functions/textstats.quality_score exactly: whitespace is
-    # the EXPLICIT class [ \t\n\r\f\v] on BOTH sides (Python \s and RE2
-    # \s disagree on \v/unicode spaces — ADVICE r1); score factors are
-    # powers of 0.5 so round(.,4) is the identity on both sides
-    f"""
+# mirrors functions/textstats.quality_score exactly: whitespace is
+# the EXPLICIT class [ \t\n\r\f\v] on BOTH sides (Python \s and RE2
+# \s disagree on \v/unicode spaces — ADVICE r1); score factors are
+# powers of 0.5 so round(.,4) is the identity on both sides. A module
+# constant because dedup_keep_best composes it with the cluster CTEs.
+_QUALITY_SQL = f"""
     SELECT doc_id,
       CASE WHEN LENGTH(text) = 0
              OR LEN(regexp_extract_all(text, '{WORD_REGEX_SQL}')) = 0 THEN 0.0
@@ -205,8 +204,10 @@ def langid_heuristic(sf_dir: str):
             AS INT)
         ) END AS quality
     FROM documents
-    """,
-)
+    """
+
+
+@query("quality_scores", _QUALITY_SQL)
 def quality_scores(sf_dir: str):
     def score(t: pa.Table) -> pa.Table:
         scores = [quality_score(x) for x in t.column("text").to_pylist()]
@@ -1301,9 +1302,10 @@ def _pair_table(
     )
 
 
-@query(
-    "embedding_near_dup",
-    f"""
+# a module constant because embedding_dup_clusters wraps the same
+# pair definition in a recursive-CTE component chain (the
+# _minhash_oracle_sql / _clusters_oracle_sql pattern)
+_EMB_PAIRS_SQL = f"""
     SELECT id_a, id_b, sim_bp FROM (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
              CAST(FLOOR(list_cosine_similarity(
@@ -1312,8 +1314,10 @@ def _pair_table(
                AS sim_bp
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     ) WHERE sim_bp >= {_NEAR_DUP_BP}
-    """,
-)
+    """
+
+
+@query("embedding_near_dup", _EMB_PAIRS_SQL)
 def embedding_near_dup(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (dedup family): every pair
     with cosine >= tau, EXACT, with no full-matrix broadcast and no
@@ -2245,6 +2249,216 @@ def cluster_aware_split(sf_dir: str):
 
     return near_dup_clusters(sf_dir).map_batches(
         split, batch_format="pyarrow"
+    )
+
+
+@query(
+    "dedup_keep_best",
+    # twin: the cluster CTE chain + the quality twin joined per doc,
+    # then one winner per multi-member cluster (quality DESC, doc_id
+    # ASC — the exact lexsort the pipeline's per-run argmax applies)
+    f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle_sql()}),
+    e AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(v, l) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.b, r.l FROM reach r JOIN e ON e.a = r.v
+    ),
+    cl AS (SELECT v AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY v),
+    q AS ({_QUALITY_SQL}),
+    j AS (SELECT cl.cluster_id, cl.doc_id, q.quality
+          FROM cl JOIN q USING (doc_id)),
+    sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+           FROM j GROUP BY cluster_id),
+    rk AS (SELECT cluster_id, doc_id, quality,
+                  ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                     ORDER BY quality DESC, doc_id) AS rn
+           FROM j)
+    SELECT r.cluster_id, r.doc_id AS keep_doc_id,
+           r.quality AS keep_quality, s.n_members
+    FROM rk r JOIN sz s USING (cluster_id)
+    WHERE r.rn = 1 AND s.n_members > 1
+    """,
+)
+def dedup_keep_best(sf_dir: str):
+    """Near-dup canonicalization: for every multi-member duplicate
+    cluster, keep the HIGHEST-quality member (tie-break min doc_id) —
+    the standard corpus-curation refinement over near_dup_clusters'
+    min-id keeper, which discards a clean page whenever a boilerplate
+    copy happens to have the smaller id.
+
+    Composition of two oracle-checked stages plus one join expressed
+    the repo's shuffle-free-join way: cluster labels and quality rows
+    are UNIONed with the SAME doc_id hash partition, so the per-doc
+    join is a partition-local sort (no join operator, no second
+    corpus shuffle for the probe side); winners then move ONE more
+    hash exchange keyed by cluster_id where a single lexsort picks
+    (quality DESC, doc_id ASC) per run. Multi-member clusters only
+    leave the final stage, so output is O(dup clusters), and every
+    exchange is O(corpus rows x 3 int/float columns) — never text.
+    At 100 TB the text column stays in the quality pass's map_batches;
+    a fused variant could fold quality into near_dup_clusters' last
+    merge and drop one exchange, kept separate here for parity with
+    the oracle's compositional definition."""
+    parts = _pool_size()
+
+    def lab_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "cluster_id": t["cluster_id"],
+                "quality": pa.array(
+                    np.full(ids.size, -1.0), pa.float64()
+                ),
+                "part": pa.array(_cc_part(ids, parts), pa.int64()),
+            }
+        )
+
+    def quality_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        scores = [quality_score(x) for x in t.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "cluster_id": pa.array(
+                    np.full(ids.size, -1, np.int64), pa.int64()
+                ),
+                "quality": pa.array(scores, pa.float64()),
+                "part": pa.array(_cc_part(ids, parts), pa.int64()),
+            }
+        )
+
+    labels = near_dup_clusters(sf_dir).map_batches(
+        lab_rows, batch_format="pyarrow"
+    )
+    quality = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        quality_rows, batch_format="pyarrow"
+    )
+
+    def join_part(g: pa.Table) -> pa.Table:
+        # each doc_id has exactly 2 rows here (one label, one quality);
+        # max() folds them because the absent field is -1 on each side
+        out = g.group_by("doc_id").aggregate(
+            [("cluster_id", "max"), ("quality", "max")]
+        )
+        cl = out.column("cluster_id_max").to_numpy()
+        return pa.table(
+            {
+                "cluster_id": out["cluster_id_max"],
+                "doc_id": out["doc_id"],
+                "quality": out["quality_max"],
+                "part": pa.array(_cc_part(cl, parts), pa.int64()),
+            }
+        )
+
+    def best_per_cluster(g: pa.Table) -> pa.Table:
+        cl = g.column("cluster_id").to_numpy()
+        ids = g.column("doc_id").to_numpy()
+        qs = g.column("quality").to_numpy()
+        order = np.lexsort((ids, -qs, cl))
+        cl, ids, qs = cl[order], ids[order], qs[order]
+        starts = np.r_[0, np.flatnonzero(cl[1:] != cl[:-1]) + 1]
+        lens = np.diff(np.r_[starts, cl.size])
+        multi = lens > 1
+        w = starts[multi]  # first row of each multi-member run wins
+        return pa.table(
+            {
+                "cluster_id": pa.array(cl[w], pa.int64()),
+                "keep_doc_id": pa.array(ids[w], pa.int64()),
+                "keep_quality": pa.array(qs[w], pa.float64()),
+                "n_members": pa.array(lens[multi], pa.int64()),
+            }
+        )
+
+    return (
+        labels.union(quality)
+        .groupby("part", num_partitions=parts)
+        .map_groups(join_part, batch_format="pyarrow")
+        .groupby("part", num_partitions=parts)
+        .map_groups(best_per_cluster, batch_format="pyarrow")
+    )
+
+
+@query(
+    "embedding_dup_clusters",
+    # twin: the exact-pair SQL wrapped in the _clusters_oracle_sql
+    # recursive min-reachable chain, seeded (v, v) from embeddings so
+    # singleton vectors are their own cluster
+    f"""
+    WITH RECURSIVE pairs AS ({_EMB_PAIRS_SQL}),
+    e AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION ALL
+      SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(v, l) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.b, r.l FROM reach r JOIN e ON e.a = r.v
+    )
+    SELECT v AS vec_id, MIN(l) AS cluster_id FROM reach GROUP BY v
+    """,
+)
+def embedding_dup_clusters(sf_dir: str):
+    """SemDeDup-style SEMANTIC duplicate clusters: connected components
+    over the exact embedding-cosine near-dup pairs — the embedding-space
+    sibling of near_dup_clusters (which clusters the MinHash text
+    pairs). Pairwise semantic dedup over-deletes on chains exactly like
+    text dedup does; the component label (min vec_id of the component)
+    is the keep/drop unit a curation run wants.
+
+    Composes two existing distributed stages unchanged: the IVF-bounded
+    exact pair join (per-task memory = two lists, triangle-bound
+    pruning) feeds the iterative min-label propagation whose per-round
+    shuffle is O(dup-subgraph edges) and whose partition count
+    right-sizes to the measured edge count. The corpus-wide cost is one
+    vec_id projection plus ONE hash-partitioned min-merge — embeddings
+    never move."""
+    parts = _pool_size()
+
+    def as_edges(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_a": t["id_a"], "doc_b": t["id_b"]})
+
+    labels = _connected_components(
+        embedding_near_dup(sf_dir).map_batches(
+            as_edges, batch_format="pyarrow"
+        ),
+        parts,
+    )
+
+    def vec_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("vec_id").to_numpy()
+        return pa.table(
+            {
+                "key": t["vec_id"],
+                "val": t["vec_id"],
+                "part": pa.array(_cc_part(ids, parts), pa.int64()),
+            }
+        )
+
+    vecs = _read(sf_dir, "embeddings", ["vec_id"]).map_batches(
+        vec_rows, batch_format="pyarrow"
+    )
+
+    def min_per_key(g: pa.Table) -> pa.Table:
+        out = g.group_by("key").aggregate([("val", "min")])
+        return pa.table(
+            {
+                "vec_id": out["key"],
+                "cluster_id": out["val_min"],
+            }
+        )
+
+    return (
+        vecs.union(labels)
+        .groupby("part", num_partitions=parts)
+        .map_groups(min_per_key, batch_format="pyarrow")
     )
 
 

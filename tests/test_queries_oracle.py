@@ -54,11 +54,11 @@ def registry(ray_session):
 
 def test_all_queries_have_callables(registry):
     queries, oracles = registry
-    assert len(queries) >= 62
+    assert len(queries) >= 64
     assert set(oracles) <= set(queries)
     # every query hash-checks against DuckDB; a regression that
     # silently drops a query to rows-only should fail here
-    assert len(oracles) >= 62
+    assert len(oracles) >= 64
 
 
 @pytest.mark.parametrize(
@@ -84,7 +84,8 @@ def test_all_queries_have_callables(registry):
         "dup_ngram_spans_sampled", "lang_confusion_matrix",
         "event_funnel_counts", "orders_trailing_window",
         "stratified_sample_topk", "bm25_search_topk",
-        "kmv_distinct_users",
+        "kmv_distinct_users", "dedup_keep_best",
+        "embedding_dup_clusters",
     ],
 )
 def test_query_matches_oracle(registry, con, name):

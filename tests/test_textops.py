@@ -574,3 +574,106 @@ def test_bm25_oracle_agrees_on_zero_token_docs(ray_session, tmp_path):
     # the zero-token docs must count toward N: with N=7 every scoring
     # doc's dl < avgdl penalty differs from the N=5 (dl-only) reading
     assert len(got) == 4  # only docs containing a query term score
+
+
+def test_dedup_keep_best_quality_beats_min_id(ray_session, tmp_path):
+    """The quality tie-break must BITE: when the min-id member of a
+    near-dup cluster is the boilerplate copy (punct ratio > 0.2 ->
+    quality 0.5) and a higher-id member is clean (quality 1.0), the
+    keeper is the HIGHER id — the exact case near_dup_clusters'
+    min-id keeper gets wrong. A second cluster with identical texts
+    checks the (quality DESC, doc_id ASC) tie-break falls back to
+    min id on equal quality."""
+    import pyarrow as pa
+
+    base = " ".join(f"tok{i % 23}ab" for i in range(40))  # clean, 1.0
+    noisy = base + "!" * int(0.3 * len(base))  # one repeated shingle,
+    # Jaccard ~0.99, punct ratio > 0.2 -> quality 0.5
+    twin = " ".join(f"zqx{i % 19}cd" for i in range(40))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                "text": pa.array([noisy, base, "solo doc here, unique",
+                                  twin, twin]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    from raycrawl.functions.textstats import quality_score
+    from raycrawl.pipelines.textops import dedup_keep_best
+
+    assert quality_score(noisy) == 0.5 and quality_score(base) == 1.0
+
+    got = (
+        dedup_keep_best(str(tmp_path))
+        .to_pandas()
+        .sort_values("cluster_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["cluster_id"]) == [0, 3]
+    # cluster 0: quality wins over id -> doc 1 kept, not min-id doc 0
+    assert list(got["keep_doc_id"]) == [1, 3]
+    assert list(got["keep_quality"]) == [1.0, 1.0]
+    assert list(got["n_members"]) == [2, 2]
+
+
+def test_embedding_dup_clusters_chain_transitivity(ray_session, tmp_path):
+    """A~B and B~C with A NOT~ C (65-degree steps: cos 0.42 >= tau,
+    cos 130 deg << tau) must land in ONE cluster — the transitive
+    closure pairwise dedup can't see. Six mutually-orthogonal
+    singletons stay their own clusters. The DuckDB twin runs on the
+    SAME fixture file, pinning oracle-pair validity on a chain the
+    driver testdata may not exercise."""
+    import math
+
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+
+    th = math.radians(65)
+    vecs = []
+    for i in range(3):  # chain in axes (6, 7)
+        v = [0.0] * 8
+        v[6], v[7] = math.cos(i * th), math.sin(i * th)
+        vecs.append(v)
+    for ax in range(6):  # orthogonal singletons
+        v = [0.0] * 8
+        v[ax] = 1.0
+        vecs.append(v)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(9), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * 9, pa.int32()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+    from raycrawl.pipelines.textops import embedding_dup_clusters
+
+    got = (
+        embedding_dup_clusters(str(tmp_path))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert list(got["vec_id"]) == list(range(9))
+    assert list(got["cluster_id"]) == [0, 0, 0, 3, 4, 5, 6, 7, 8]
+
+    import __ray_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    want = (
+        con.execute(e.oracle_sql()["embedding_dup_clusters"])
+        .df()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64"), check_dtype=False
+    )
