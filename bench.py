@@ -58,6 +58,7 @@ QUERY_NAMES = [
     "bm25_search_topk",
     "kmv_distinct_users",
     "dedup_keep_best",
+    "importance_sample",
 ]
 
 

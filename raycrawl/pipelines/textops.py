@@ -2547,6 +2547,40 @@ def term_doc_frequency(sf_dir: str):
     )
 
 
+def _corpus_vocab(sf_dir: str):
+    """Distributed corpus-frequency vocabulary build shared by
+    doc_commonness and importance_sample: per-batch (term, cf)
+    partials — vocabulary-sized, never token-stream-sized — combined
+    on the driver (bounded by the corpus VOCABULARY, the same class
+    of bounded combine as decontaminate_overlap's benchmark vocab)
+    into a sorted term array + aligned counts ready for one ray.put
+    broadcast and searchsorted probing."""
+
+    def cf_partial(t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        per_doc = [WORD_REGEX.findall(x) for x in texts]
+        flat = np.concatenate(
+            [np.array(w, dtype=str) for w in per_doc if w]
+        ) if any(per_doc) else np.array([], dtype=str)
+        terms, cf = np.unique(flat, return_counts=True)
+        return pa.table(
+            {
+                "term": pa.array(terms.tolist(), pa.string()),
+                "cf": pa.array(cf, pa.int64()),
+            }
+        )
+
+    partials = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(cf_partial, batch_format="pyarrow")
+        .to_pandas()  # bounded: corpus vocabulary only
+    )
+    agg = partials.groupby("term")["cf"].sum()
+    vocab = np.array(agg.index.to_numpy(), dtype=str)
+    order = np.argsort(vocab)
+    return vocab[order], agg.to_numpy()[order]
+
+
 @query(
     "doc_commonness",
     f"""
@@ -2586,30 +2620,7 @@ def doc_commonness(sf_dir: str):
     in the corpus (min length asserted in tests)."""
     import ray
 
-    def cf_partial(t: pa.Table) -> pa.Table:
-        texts = t.column("text").to_pylist()
-        per_doc = [WORD_REGEX.findall(x) for x in texts]
-        flat = np.concatenate(
-            [np.array(w, dtype=str) for w in per_doc if w]
-        ) if any(per_doc) else np.array([], dtype=str)
-        terms, cf = np.unique(flat, return_counts=True)
-        return pa.table(
-            {
-                "term": pa.array(terms.tolist(), pa.string()),
-                "cf": pa.array(cf, pa.int64()),
-            }
-        )
-
-    partials = (
-        _read(sf_dir, "documents", ["text"])
-        .map_batches(cf_partial, batch_format="pyarrow")
-        .to_pandas()  # bounded: corpus vocabulary only
-    )
-    agg = partials.groupby("term")["cf"].sum()
-    vocab = np.array(agg.index.to_numpy(), dtype=str)
-    order = np.argsort(vocab)
-    vocab, counts = vocab[order], agg.to_numpy()[order]
-    bcast = ray.put((vocab, counts))
+    bcast = ray.put(_corpus_vocab(sf_dir))
 
     def score(t: pa.Table) -> pa.Table:
         vocab, counts = ray.get(bcast)
@@ -2645,6 +2656,125 @@ def doc_commonness(sf_dir: str):
 
     return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow"
+    )
+
+
+# DSIR-style importance sampler: keep probability inversely
+# proportional to a document's mean token commonness. _IMPORTANCE_K
+# scales the rate: p = T·n_words / (K·freq_sum) = 1/(K·mean unigram
+# probability); this corpus's per-doc mean probability is ~1/30
+# (measured, narrow spread), so K=64 centers the keep rate near 0.5
+# with the importance tilt deciding the margin. Power of two so the
+# divisor composes exactly with the <<32 threshold scale.
+_IMPORTANCE_K = 64
+
+
+@query(
+    "importance_sample",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             UNNEST(regexp_extract_all(text, '{WORD_REGEX_SQL}')) AS term
+      FROM documents
+    ),
+    cf AS (SELECT term, COUNT(*) AS cf FROM w GROUP BY term),
+    tot AS (SELECT CAST(COUNT(*) AS HUGEINT) AS t FROM w),
+    d AS (
+      SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(cf.cf) AS HUGEINT) AS freq_sum
+      FROM w JOIN cf USING (term) GROUP BY w.doc_id
+    ),
+    thr AS (
+      SELECT d.doc_id, d.n_words,
+             LEAST(
+               CAST(4294967296 AS HUGEINT),
+               (tot.t * d.n_words * 4294967296)
+                 // ({_IMPORTANCE_K} * d.freq_sum)
+             ) AS keep_thr
+      FROM d, tot
+    )
+    SELECT doc_id, n_words, CAST(keep_thr AS BIGINT) AS keep_thr
+    FROM thr
+    WHERE ((CAST(doc_id AS HUGEINT) * 2246822519)
+           % 18446744073709551616) % 4294967296 < keep_thr
+    """,
+)
+def importance_sample(sf_dir: str):
+    """Importance-weighted deterministic downsampling (the DSIR-style
+    selection step composing doc_commonness's corpus-frequency signal
+    into an actual keep/drop decision): each document is kept with
+    probability min(1, T·n_words / (K·freq_sum)) — inversely
+    proportional to the mean corpus frequency of its tokens, so docs
+    carrying rare vocabulary survive at higher rates than boilerplate.
+    The coin is the salted multiplicative hash of doc_id (a DIFFERENT
+    odd constant than dataset_split_hash / domain_mix_sample, so the
+    three decisions are independent), making the sample stable under
+    resharding, append, and re-runs — the same reason the hash split
+    beats random_shuffle at corpus scale.
+
+    Integer-exact at any scale: the threshold
+    min(2^32, (T·n_words << 32) // (K·freq_sum)) is computed per doc
+    in arbitrary-precision ints (T·n_words·2^32 overflows int64 at
+    ~10^13 corpus tokens — the bm25_search_topk HUGEINT pattern), and
+    the DuckDB twin mirrors it in HUGEINT, so keep decisions compare
+    exact integers on both sides. Two passes: the shared bounded
+    vocab build + one broadcast, then a shuffle-free per-batch scoring
+    filter (searchsorted + reduceat — the doc_commonness kernel).
+    Zero-word docs are absent on both sides (none exist; asserted)."""
+    import ray
+
+    vocab, counts = _corpus_vocab(sf_dir)
+    total_tokens = int(counts.sum())
+    bcast = ray.put((vocab, counts))
+
+    def samp(t: pa.Table) -> pa.Table:
+        vocab, counts = ray.get(bcast)
+        ids = t.column("doc_id").to_numpy()
+        texts = t.column("text").to_pylist()
+        per_doc = [WORD_REGEX.findall(x) for x in texts]
+        lens = np.array([len(w) for w in per_doc], dtype=np.int64)
+        keep = np.flatnonzero(lens)
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "n_words": pa.array([], pa.int64()),
+                "keep_thr": pa.array([], pa.int64()),
+            }
+        )
+        if not keep.size:
+            return empty
+        flat = np.concatenate(
+            [np.array(per_doc[i], dtype=str) for i in keep]
+        )
+        f = counts[np.searchsorted(vocab, flat)]  # every word is in vocab
+        bounds = np.r_[0, np.cumsum(lens[keep])[:-1]]
+        fsum = np.add.reduceat(f, bounds)
+        nw = lens[keep]
+        num = total_tokens << 32  # Python int: exact at any T
+        thr = np.fromiter(
+            (
+                min(1 << 32, (num * int(n)) // (_IMPORTANCE_K * int(fs)))
+                for n, fs in zip(nw, fsum)
+            ),
+            dtype=np.int64,
+            count=nw.size,
+        )
+        h = (
+            ids[keep].astype(np.uint64) * np.uint64(2246822519)
+        ) % np.uint64(1 << 32)
+        hit = h < thr.astype(np.uint64)
+        if not hit.any():
+            return empty
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep][hit], pa.int64()),
+                "n_words": pa.array(nw[hit], pa.int64()),
+                "keep_thr": pa.array(thr[hit], pa.int64()),
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        samp, batch_format="pyarrow"
     )
 
 

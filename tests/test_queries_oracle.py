@@ -54,11 +54,11 @@ def registry(ray_session):
 
 def test_all_queries_have_callables(registry):
     queries, oracles = registry
-    assert len(queries) >= 64
+    assert len(queries) >= 65
     assert set(oracles) <= set(queries)
     # every query hash-checks against DuckDB; a regression that
     # silently drops a query to rows-only should fail here
-    assert len(oracles) >= 64
+    assert len(oracles) >= 65
 
 
 @pytest.mark.parametrize(
@@ -78,7 +78,7 @@ def test_all_queries_have_callables(registry):
         "window_hopping_counts", "pack_sequences", "dataset_split_hash",
         "decontaminate_overlap", "domain_mix_sample", "repetition_ratio",
         "near_dup_clusters", "cluster_aware_split",
-        "term_doc_frequency", "doc_commonness",
+        "term_doc_frequency", "doc_commonness", "importance_sample",
         "token_quantiles_by_lang", "quality_floor_filter",
         "tfidf_topk_terms", "dup_ngram_spans", "boilerplate_span_ratio",
         "dup_ngram_spans_sampled", "lang_confusion_matrix",

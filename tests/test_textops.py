@@ -408,6 +408,7 @@ def test_hash_selected_operators_stable_under_resharding(
 
     from raycrawl.pipelines import analytics
     from raycrawl.pipelines.textops import (
+        importance_sample,
         stratified_sample_topk,
         token_quantiles_by_lang,
     )
@@ -420,11 +421,13 @@ def test_hash_selected_operators_stable_under_resharding(
     base = [
         norm(stratified_sample_topk(SF)),
         norm(token_quantiles_by_lang(SF)),
+        norm(importance_sample(SF)),
     ]
     monkeypatch.setattr(analytics, "_nblocks", lambda sf, t: 3)
     resharded = [
         norm(stratified_sample_topk(SF)),
         norm(token_quantiles_by_lang(SF)),
+        norm(importance_sample(SF)),
     ]
     for a, b in zip(base, resharded):
         pd.testing.assert_frame_equal(a, b)
@@ -574,6 +577,57 @@ def test_bm25_oracle_agrees_on_zero_token_docs(ray_session, tmp_path):
     # the zero-token docs must count toward N: with N=7 every scoring
     # doc's dl < avgdl penalty differs from the N=5 (dl-only) reading
     assert len(got) == 4  # only docs containing a query term score
+
+
+def test_importance_sample_tilts_toward_rare_vocab(ray_session, tmp_path):
+    """The importance weight must BITE: on a fixture of 20 boilerplate
+    docs sharing one 4-word template plus one doc of corpus-unique
+    words, the rare doc's keep threshold clamps to 2^32 (kept with
+    probability 1 regardless of its hash) while the boilerplate docs'
+    threshold is T·n/(64·freq_sum) = (84·4)/(64·80) of the hash space
+    (~6.6%) — and the pipeline hash-matches the oracle on the same
+    fixture."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from raycrawl.pipelines.analytics import ORACLES
+    from raycrawl.pipelines.textops import importance_sample
+
+    texts = ["aa bb cc dd"] * 20 + ["ee ff gg hh"]
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(1, 22)), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    pq.write_table(docs, tmp_path / "documents.parquet")
+
+    got = importance_sample(str(tmp_path)).to_pandas()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = con.execute(ORACLES["importance_sample"]).df()
+
+    def norm(df):
+        df = df[sorted(df.columns)].astype("int64")
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(norm(got), norm(want))
+
+    # rare-vocab doc: freq_sum = n_words -> threshold clamps to 2^32,
+    # i.e. kept unconditionally
+    rare = got[got.doc_id == 21]
+    assert len(rare) == 1 and int(rare.keep_thr.iloc[0]) == 1 << 32
+    # boilerplate docs: T=84 tokens, n=4, freq_sum=80 -> exact integer
+    # threshold; any that survive carry it, and it is far below clamp
+    common_thr = (84 * 4 << 32) // (64 * 80)
+    common = got[got.doc_id != 21]
+    assert (common.keep_thr == common_thr).all()
 
 
 def test_dedup_keep_best_quality_beats_min_id(ray_session, tmp_path):
