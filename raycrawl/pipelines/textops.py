@@ -906,6 +906,128 @@ def knn_cosine(sf_dir: str):
     )
 
 
+@query(
+    "knn_quantized",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+    n AS (SELECT vec_id,
+                 list_transform(emb,
+                   x -> x / sqrt(list_dot_product(emb, emb))) AS u
+          FROM e),
+    z AS (SELECT vec_id,
+                 list_transform(u, x -> floor(x * 127.0 + 0.5)) AS q
+          FROM n),
+    qq AS (SELECT vec_id AS query_id, q FROM z
+           WHERE vec_id < {_KNN_QUERIES})
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT qq.query_id, z.vec_id AS neighbor_id,
+             CAST(list_dot_product(z.q, qq.q) AS BIGINT) AS score,
+             ROW_NUMBER() OVER (PARTITION BY qq.query_id ORDER BY
+               list_dot_product(z.q, qq.q) DESC, z.vec_id) AS rank
+      FROM z CROSS JOIN qq WHERE z.vec_id != qq.query_id
+    ) WHERE rank <= {_KNN_K}
+    """,
+)
+def knn_quantized(sf_dir: str):
+    """int8 scalar-quantized similarity search — the memory-4x scale
+    path for brute-force retrieval (FAISS SQ8-style): unit-L2-normalize
+    each embedding, quantize every component with ONE GLOBAL scale
+    (floor(u*127 + 0.5), round half-up — the repo convention), and
+    rank neighbors by the exact INTEGER dot product of the quantized
+    vectors (~= 127^2 * cosine). The global scale is the point: a
+    per-vector max-abs scale (the storage-optimal choice) would leave
+    a neighbor-dependent factor in the score and require a float
+    rescale per candidate; with components bounded by |u| <= 1 the
+    single scale preserves ranking as plain int64 arithmetic, so
+    partial top-k lists merge exactly and the DuckDB twin reproduces
+    every score bit-for-bit. Quantized dots are exact in DOUBLE too
+    (|score| <= 127^2 * dim ~ 10^6 << 2^53), so the twin needs no
+    HUGEINT. Integer ties are COMMON (unlike float cosine), so the
+    per-batch partial selection applies the full (score DESC, vec_id
+    ASC) rule at the k boundary — selection commutes with merging and
+    the result is batching-independent. Same task-pool broadcast-probe
+    shape as knn_cosine; the normalization sqrt is the only float step
+    and a 1-ulp sum-order divergence sits ~10^13 spacings away from
+    any rounding boundary (the knn_lsh sign-bit argument).
+    Quantization quality vs exact float cosine is asserted separately
+    (recall floor in tests), not just twin equality."""
+    import ray
+
+    def quantize(vecs: np.ndarray) -> np.ndarray:
+        norms = np.sqrt((vecs * vecs).sum(axis=1, keepdims=True))
+        norms = np.where(norms == 0.0, 1.0, norms)
+        return np.floor((vecs / norms) * 127.0 + 0.5).astype(np.int64)
+
+    head = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    qt = head.filter(pc.less(head.column("vec_id"), _KNN_QUERIES))
+    q_ids = qt.column("vec_id").to_numpy()
+    q_ref = ray.put((q_ids, quantize(as_matrix(qt.column("embedding")))))
+
+    def partial(t: pa.Table) -> pa.Table:
+        b_qids, b_q = ray.get(q_ref)
+        ids = t.column("vec_id").to_numpy()
+        bz = quantize(as_matrix(t.column("embedding")))
+        scores = b_q @ bz.T  # (q, n) exact int64
+        q_out, id_out, s_out = [], [], []
+        for qi in range(scores.shape[0]):
+            keep = np.flatnonzero(ids != b_qids[qi])
+            if not keep.size:
+                continue
+            row = scores[qi][keep]
+            # integer scores tie often: apply the final (score DESC,
+            # id ASC) rule at the partial boundary so selection
+            # commutes with the driver merge
+            take = keep[np.lexsort((ids[keep], -row))[:_KNN_K]]
+            q_out.append(np.full(take.size, qi, dtype=np.int64))
+            id_out.append(ids[take])
+            s_out.append(scores[qi][take])
+        if not q_out:
+            return pa.table(
+                {
+                    "q_idx": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "q_idx": pa.array(np.concatenate(q_out), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(id_out), pa.int64()),
+                "score": pa.array(np.concatenate(s_out), pa.int64()),
+            }
+        )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    # bounded driver merge: queries x k rows per batch, never the corpus
+    qi, nid, rank = merge_topk(
+        parts["q_idx"].to_numpy(),
+        parts["neighbor_id"].to_numpy(),
+        parts["score"].to_numpy().astype(np.float64),  # exact: < 2^53
+        len(q_ids),
+        _KNN_K,
+    )
+    score_by = dict(
+        zip(
+            zip(parts["q_idx"].to_numpy(), parts["neighbor_id"].to_numpy()),
+            parts["score"].to_numpy(),
+        )
+    )
+    return pa.table(
+        {
+            "query_id": pa.array(q_ids[qi], pa.int64()),
+            "neighbor_id": pa.array(nid, pa.int64()),
+            "score": pa.array(
+                [score_by[(a, b)] for a, b in zip(qi, nid)], pa.int64()
+            ),
+            "rank": pa.array(rank, pa.int64()),
+        }
+    )
+
+
 _EMB_DIM_ORACLE = 64  # embeddings dim at the driver's oracle scales
 _IVF_TRAIN_N_ORACLE = 500  # embeddings rows at sf0.001 AND sf0.01
 

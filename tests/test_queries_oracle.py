@@ -54,11 +54,11 @@ def registry(ray_session):
 
 def test_all_queries_have_callables(registry):
     queries, oracles = registry
-    assert len(queries) >= 65
+    assert len(queries) >= 66
     assert set(oracles) <= set(queries)
     # every query hash-checks against DuckDB; a regression that
     # silently drops a query to rows-only should fail here
-    assert len(oracles) >= 65
+    assert len(oracles) >= 66
 
 
 @pytest.mark.parametrize(
@@ -73,7 +73,7 @@ def test_all_queries_have_callables(registry):
         "label_counts", "multimodal_payload_stats", "quality_scores",
         "embedding_near_dup", "langid_heuristic", "doc_fingerprints",
         "simhash_fingerprints", "ngram_jaccard_topk", "minhash_lsh_dupes",
-        "knn_lsh", "knn_ivf", "embedding_near_dup_lsh",
+        "knn_lsh", "knn_ivf", "knn_quantized", "embedding_near_dup_lsh",
         "asof_join_latest_order", "range_join_order_events",
         "window_hopping_counts", "pack_sequences", "dataset_split_hash",
         "decontaminate_overlap", "domain_mix_sample", "repetition_ratio",
