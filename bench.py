@@ -59,6 +59,7 @@ QUERY_NAMES = [
     "kmv_distinct_users",
     "dedup_keep_best",
     "importance_sample",
+    "knn_quantized",
 ]
 
 
